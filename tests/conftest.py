@@ -1,0 +1,39 @@
+"""Test configuration: CPU backend with 8 virtual devices + float64.
+
+Tests run on a fake 8-device CPU mesh (SURVEY.md §4 implication: multi-host
+tests via xla_force_host_platform_device_count) and enable x64 so physics
+stages can be diffed against the float64 MuJoCo C oracle at tight tolerance.
+Production code is dtype-agnostic and runs f32 on TPU.
+"""
+
+import os
+import sys
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["XLA_FLAGS"] = (
+    os.environ.get("XLA_FLAGS", "")
+    + " --xla_force_host_platform_device_count=8"
+)
+
+import jax  # noqa: E402
+
+# The environment may pre-import jax with a TPU platform (axon tunnel);
+# force the CPU backend regardless so tests are fast, deterministic, and
+# can fake an 8-device mesh.
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+REFERENCE_MODELS = "/root/reference/models"
+import pathlib  # noqa: E402
+
+_LOCAL_MODELS = pathlib.Path(__file__).resolve().parent.parent / "assets"
+
+
+def model_path(name: str) -> str:
+  """Prefer repo-local assets; fall back to the read-only reference mount."""
+  local = _LOCAL_MODELS / name
+  if local.exists():
+    return str(local)
+  return os.path.join(REFERENCE_MODELS, name)
