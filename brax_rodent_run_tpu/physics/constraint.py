@@ -1,0 +1,315 @@
+"""Constraint assembly: joint/tendon limits + pyramidal contact rows.
+
+Produces the fixed-size efc arrays (J, D, aref, pos, margin, active) the
+solvers consume. Row layout is compiled statically per Model:
+
+  [2 rows per limited joint (lo, hi)] ++ [2 rows per limited tendon] ++
+  [per contact point: 1 row (condim=1) or 2*(condim-1) pyramid rows]
+
+Inactive rows (limit not near, contact not penetrating) get D = 0 and are
+masked — shapes never change (TPU static-shape requirement).
+
+Numerical semantics follow MuJoCo's constraint model (solref/solimp
+impedance, reference acceleration, diag-approx regularization), which is the
+contract the reference's CG-8/8 configuration exercises
+(brax_rodent_run_ppo.py:52-53). Formulas verified row-by-row against the
+MuJoCo C oracle in tests/test_constraint.py.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import List, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from brax_rodent_run_tpu.physics.tree import masks
+from brax_rodent_run_tpu.physics.types import (
+    Data, DisableBit, JointType, Model)
+
+_MINIMP = 0.0001
+_MAXIMP = 0.9999
+_MINVAL = 1e-15
+
+
+@dataclasses.dataclass(frozen=True)
+class EfcLayout:
+  """Static per-model efc row metadata (host numpy)."""
+  nefc: int
+  nlimit: int
+  # limit rows
+  lim_dof: np.ndarray        # (nlimit,) dof index (-1 for tendon rows)
+  lim_tendon: np.ndarray     # (nlimit,) tendon index (-1 for joint rows)
+  lim_sign: np.ndarray       # (nlimit,) +1 lower / -1 upper
+  lim_bound: np.ndarray      # (nlimit,) range value
+  lim_solref: np.ndarray     # (nlimit, 2)
+  lim_solimp: np.ndarray     # (nlimit, 5)
+  lim_margin: np.ndarray     # (nlimit,)
+  lim_invweight: np.ndarray  # (nlimit,)
+  # contact rows
+  ncon_rows: int
+  con_id: np.ndarray         # (ncon_rows,) contact slot-point index
+  con_dirsign: np.ndarray    # (ncon_rows,) 0 for normal-only, else ±1
+  con_diridx: np.ndarray     # (ncon_rows,) tangent index (1 or 2); 0=normal
+  con_mu: np.ndarray         # (ncon_rows,) friction coef for this row
+  con_solref: np.ndarray     # (ncon_rows, 2)
+  con_solimp: np.ndarray     # (ncon_rows, 5)
+  con_margin: np.ndarray     # (ncon_rows,) includemargin
+  con_invweight: np.ndarray  # (ncon_rows,) diag-approx
+  # per contact *point* static data
+  con_body1: np.ndarray      # (ncon,) body id of geom1
+  con_body2: np.ndarray      # (ncon,)
+  con_includemargin: np.ndarray  # (ncon,)
+
+
+@functools.lru_cache(maxsize=64)
+def efc_layout(m: Model) -> EfcLayout:
+  lim_dof, lim_ten, lim_sign, lim_bound = [], [], [], []
+  lim_solref, lim_solimp, lim_margin, lim_iw = [], [], [], []
+  for j in range(m.njnt):
+    if not m.jnt_limited[j]:
+      continue
+    if m.jnt_type[j] not in (JointType.HINGE, JointType.SLIDE):
+      continue
+    dof = int(m.jnt_dofadr[j])
+    for sign, bound in ((1.0, m.jnt_range[j, 0]), (-1.0, m.jnt_range[j, 1])):
+      lim_dof.append(dof)
+      lim_ten.append(-1)
+      lim_sign.append(sign)
+      lim_bound.append(float(bound))
+      lim_solref.append(m.jnt_solref[j])
+      lim_solimp.append(m.jnt_solimp[j])
+      lim_margin.append(float(m.jnt_margin[j]))
+      lim_iw.append(float(m.dof_invweight0[dof]))
+  for t in range(m.ntendon):
+    if not m.tendon_limited[t]:
+      continue
+    for sign, bound in ((1.0, m.tendon_range[t, 0]),
+                        (-1.0, m.tendon_range[t, 1])):
+      lim_dof.append(-1)
+      lim_ten.append(t)
+      lim_sign.append(sign)
+      lim_bound.append(float(bound))
+      lim_solref.append(m.tendon_solref_lim[t])
+      lim_solimp.append(m.tendon_solimp_lim[t])
+      lim_margin.append(0.0)
+      lim_iw.append(float(m.tendon_invweight0[t]))
+  nlimit = len(lim_dof)
+
+  con_id, dirsign, diridx, mu = [], [], [], []
+  c_solref, c_solimp, c_margin, c_iw = [], [], [], []
+  body1, body2, incmargin = [], [], []
+  point = 0
+  for s in m.contact_slots:
+    b1 = int(m.geom_bodyid[s.geom1])
+    b2 = int(m.geom_bodyid[s.geom2])
+    iw = float(m.body_invweight0[b1, 0] + m.body_invweight0[b2, 0])
+    inc = s.margin - s.gap
+    for _ in range(s.max_points):
+      body1.append(b1)
+      body2.append(b2)
+      incmargin.append(inc)
+      if s.condim == 1:
+        rows = [(0.0, 0, 0.0, iw)]
+      else:
+        # pyramidal: pairs (normal + mu*t_k, normal - mu*t_k)
+        rows = []
+        for k in range(s.condim - 1):
+          mu_k = s.friction[k]
+          diag = 2.0 * (1.0 + mu_k * mu_k) * iw
+          rows.append((1.0, k + 1, mu_k, diag))
+          rows.append((-1.0, k + 1, mu_k, diag))
+      for sgn, tidx, mu_k, diag in rows:
+        con_id.append(point)
+        dirsign.append(sgn)
+        diridx.append(tidx)
+        mu.append(mu_k)
+        c_solref.append(s.solref)
+        c_solimp.append(s.solimp)
+        c_margin.append(inc)
+        c_iw.append(diag)
+      point += 1
+
+  def arr(x, dt=np.float64):
+    return np.array(x, dt) if len(x) else np.zeros((0,), dt)
+
+  return EfcLayout(
+      nefc=nlimit + len(con_id), nlimit=nlimit,
+      lim_dof=arr(lim_dof, np.int32), lim_tendon=arr(lim_ten, np.int32),
+      lim_sign=arr(lim_sign), lim_bound=arr(lim_bound),
+      lim_solref=np.array(lim_solref).reshape(nlimit, 2),
+      lim_solimp=np.array(lim_solimp).reshape(nlimit, 5),
+      lim_margin=arr(lim_margin), lim_invweight=arr(lim_iw),
+      ncon_rows=len(con_id),
+      con_id=arr(con_id, np.int32), con_dirsign=arr(dirsign),
+      con_diridx=arr(diridx, np.int32), con_mu=arr(mu),
+      con_solref=np.array(c_solref).reshape(-1, 2),
+      con_solimp=np.array(c_solimp).reshape(-1, 5),
+      con_margin=arr(c_margin), con_invweight=arr(c_iw),
+      con_body1=arr(body1, np.int32), con_body2=arr(body2, np.int32),
+      con_includemargin=arr(incmargin),
+  )
+
+
+def _impedance(solimp, pos, margin, dtype):
+  """mj_makeImpedance: position-dependent constraint impedance."""
+  # endpoints are clamped to the legal impedance range BEFORE interpolation
+  d0 = jnp.clip(jnp.asarray(solimp[..., 0], dtype), _MINIMP, _MAXIMP)
+  dmax = jnp.clip(jnp.asarray(solimp[..., 1], dtype), _MINIMP, _MAXIMP)
+  width = jnp.asarray(solimp[..., 2], dtype)
+  mid = jnp.asarray(solimp[..., 3], dtype)
+  power = jnp.asarray(solimp[..., 4], dtype)
+  x = jnp.abs(pos - margin) / jnp.maximum(width, _MINVAL)
+  x = jnp.clip(x, 0.0, 1.0)
+  pw = jnp.maximum(power, 1.0)
+  a = 1.0 / jnp.maximum(mid, _MINVAL) ** (pw - 1.0)
+  b = 1.0 / jnp.maximum(1.0 - mid, _MINVAL) ** (pw - 1.0)
+  y = jnp.where(x < mid, a * x ** pw, 1.0 - b * (1.0 - x) ** pw)
+  imp = d0 + y * (dmax - d0)
+  return jnp.clip(imp, _MINIMP, _MAXIMP)
+
+
+def _kbi(solref, solimp, timestep, dtype):
+  """Stiffness/damping from solref, normalized by d_max (mj semantics).
+
+  Standard form (timeconst, dampratio > 0):
+    b = 2/(dmax*timeconst),  k = 1/(dmax^2 * timeconst^2 * dampratio^2)
+  Direct form (non-positive solref): k = -solref0/dmax^2, b = -solref1/dmax.
+  refsafe clamps timeconst >= 2*timestep.
+  """
+  timeconst = jnp.asarray(solref[..., 0], dtype)
+  dampratio = jnp.asarray(solref[..., 1], dtype)
+  timeconst = jnp.maximum(timeconst, 2.0 * timestep)
+  dmax = jnp.clip(jnp.asarray(solimp[..., 1], dtype), _MINIMP, _MAXIMP)
+  k = 1.0 / jnp.maximum((dmax * timeconst * dampratio) ** 2, _MINVAL)
+  b = 2.0 / jnp.maximum(dmax * timeconst, _MINVAL)
+  k = jnp.where(solref[..., 0] <= 0, -solref[..., 0] / dmax ** 2, k)
+  b = jnp.where(solref[..., 1] <= 0, -solref[..., 1] / dmax, b)
+  return k, b
+
+
+def make_constraint(m: Model, d: Data) -> Data:
+  """Assemble efc arrays from limits + current contacts."""
+  dt = d.qpos.dtype
+  lay = efc_layout(m)
+  nv, nefc = m.nv, lay.nefc
+  if nefc == 0 or (m.opt.disableflags & DisableBit.CONSTRAINT):
+    return d.replace(efc_J=jnp.zeros((lay.nefc, nv), dt),
+                     efc_D=jnp.zeros(lay.nefc, dt),
+                     efc_aref=jnp.zeros(lay.nefc, dt),
+                     efc_pos=jnp.zeros(lay.nefc, dt),
+                     efc_margin=jnp.zeros(lay.nefc, dt),
+                     efc_active=jnp.zeros(lay.nefc, bool))
+  ts = jnp.asarray(m.opt.timestep, dt)
+  mk = masks(m)
+
+  Js, Ds, arefs, poss, margins, actives = [], [], [], [], [], []
+
+  # ---- limit rows -------------------------------------------------------
+  if lay.nlimit and not (m.opt.disableflags & DisableBit.LIMIT):
+    nlim = lay.nlimit
+    sign = jnp.asarray(lay.lim_sign, dt)
+    bound = jnp.asarray(lay.lim_bound, dt)
+    # joint rows: qpos at the joint's qposadr; tendon rows: ten_length
+    J = jnp.zeros((nlim, nv), dt)
+    vals = jnp.zeros(nlim, dt)
+    for i in range(nlim):
+      if lay.lim_dof[i] >= 0:
+        dof = int(lay.lim_dof[i])
+        jid = int(m.dof_jntid[dof])
+        qadr = int(m.jnt_qposadr[jid])
+        vals = vals.at[i].set(d.qpos[qadr])
+        J = J.at[i, dof].set(float(lay.lim_sign[i]))
+      else:
+        t = int(lay.lim_tendon[i])
+        vals = vals.at[i].set(d.ten_length[t])
+        J = J.at[i].set(float(lay.lim_sign[i]) * d.ten_J[t])
+    # distance to the limit: lower: q - lo ; upper: hi - q
+    dist = sign * (vals - bound)
+    margin = jnp.asarray(lay.lim_margin, dt)
+    active = dist < margin
+    imp = _impedance(jnp.asarray(lay.lim_solimp, dt), dist, margin, dt)
+    k, b = _kbi(jnp.asarray(lay.lim_solref, dt),
+                jnp.asarray(lay.lim_solimp, dt), ts, dt)
+    vel = J @ d.qvel
+    aref = -b * vel - k * imp * (dist - margin)
+    R = jnp.maximum((1.0 - imp) / jnp.maximum(imp, _MINVAL)
+                    * jnp.asarray(lay.lim_invweight, dt), _MINVAL)
+    D = jnp.where(active, 1.0 / R, 0.0)
+    Js.append(J)
+    Ds.append(D)
+    arefs.append(aref)
+    poss.append(dist)
+    margins.append(margin)
+    actives.append(active)
+  elif lay.nlimit:
+    Js.append(jnp.zeros((lay.nlimit, nv), dt))
+    Ds.append(jnp.zeros(lay.nlimit, dt))
+    arefs.append(jnp.zeros(lay.nlimit, dt))
+    poss.append(jnp.zeros(lay.nlimit, dt))
+    margins.append(jnp.zeros(lay.nlimit, dt))
+    actives.append(jnp.zeros(lay.nlimit, bool))
+
+  # ---- contact rows ------------------------------------------------------
+  if lay.ncon_rows and not (m.opt.disableflags & DisableBit.CONTACT):
+    ncon = m.ncon_max
+    pos_c = d.contact.pos                                  # (ncon, 3)
+    frame = d.contact.frame                                # (ncon, 3, 3)
+    dist = d.contact.dist
+
+    # translational jacobian of each contact point wrt both bodies
+    bd_mask = jnp.asarray(mk.body_dof_ancestor, dt)        # (nbody, nv)
+    org = d.subtree_com[m.body_rootid]                     # (nbody, 3)
+    cdof_ang = d.cdof[:, :3]
+    cdof_lin = d.cdof[:, 3:]
+
+    def point_jac(bodies):
+      mask = bd_mask[bodies]                               # (ncon, nv)
+      rel = pos_c[:, None, :] - org[bodies][:, None, :]    # (ncon, 1, 3)
+      jacp = cdof_lin[None] + jnp.cross(cdof_ang[None], rel)
+      return jacp * mask[:, :, None]                       # (ncon, nv, 3)
+
+    jac_rel = point_jac(lay.con_body2) - point_jac(lay.con_body1)
+
+    # per-row direction: frame row 0 (normal) ± mu * frame row diridx
+    rid = lay.con_id                                       # (nrows,)
+    normal = frame[rid, 0]                                 # (nrows, 3)
+    tangent = frame[rid, lay.con_diridx]
+    mu = jnp.asarray(lay.con_mu, dt)[:, None]
+    sgn = jnp.asarray(lay.con_dirsign, dt)[:, None]
+    direction = normal + sgn * mu * tangent                # (nrows, 3)
+    J = jnp.einsum('rvk,rk->rv', jac_rel[rid], direction)  # (nrows, nv)
+
+    pos_r = dist[rid]
+    margin = jnp.asarray(lay.con_margin, dt)
+    active = pos_r < jnp.asarray(lay.con_includemargin, dt)[rid]
+    imp = _impedance(jnp.asarray(lay.con_solimp, dt), pos_r, margin, dt)
+    k, b = _kbi(jnp.asarray(lay.con_solref, dt),
+                jnp.asarray(lay.con_solimp, dt), ts, dt)
+    vel = J @ d.qvel
+    aref = -b * vel - k * imp * (pos_r - margin)
+    R = jnp.maximum((1.0 - imp) / jnp.maximum(imp, _MINVAL)
+                    * jnp.asarray(lay.con_invweight, dt), _MINVAL)
+    D = jnp.where(active, 1.0 / R, 0.0)
+    Js.append(J)
+    Ds.append(D)
+    arefs.append(aref)
+    poss.append(pos_r)
+    margins.append(margin)
+    actives.append(active)
+  elif lay.ncon_rows:
+    Js.append(jnp.zeros((lay.ncon_rows, nv), dt))
+    Ds.append(jnp.zeros(lay.ncon_rows, dt))
+    arefs.append(jnp.zeros(lay.ncon_rows, dt))
+    poss.append(jnp.zeros(lay.ncon_rows, dt))
+    margins.append(jnp.zeros(lay.ncon_rows, dt))
+    actives.append(jnp.zeros(lay.ncon_rows, bool))
+
+  return d.replace(
+      efc_J=jnp.concatenate(Js, 0), efc_D=jnp.concatenate(Ds),
+      efc_aref=jnp.concatenate(arefs), efc_pos=jnp.concatenate(poss),
+      efc_margin=jnp.concatenate(margins),
+      efc_active=jnp.concatenate(actives))
