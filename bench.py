@@ -1,0 +1,90 @@
+"""Headline benchmark: batched Rodent env-steps/s on one chip.
+
+Config 3 of BASELINE.json: rodent model + run task, num_envs=2048, single
+chip, training-wrapped env (EpisodeWrapper 150 + Vmap + AutoReset — the
+stepping path PPO actually pays for). Each env step = 10 physics substeps at
+dt=0.002 (Rodent_Env_Brax.py:53-57).
+
+Baseline: the reference never published throughput at scale (SURVEY.md §6).
+The proxy we beat: its best single-env jit step rate (84 steps/s,
+i7-11700K + A5000, mjcf.ipynb cell 14) scaled perfectly to the A40's
+512-env capacity ceiling (readme.md:33) = 43,008 env-steps/s. The driver
+target is >=5x that per chip at 2048 envs.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import os
+import time
+
+import numpy as np
+
+BASELINE_ENV_STEPS_PER_S = 512 * 84.0  # see module docstring
+
+_MODELS = os.path.join(os.path.dirname(os.path.abspath(__file__)), "assets")
+_REF_MODELS = "/root/reference/models"
+
+
+def _model_path(name: str) -> str:
+  local = os.path.join(_MODELS, name)
+  return local if os.path.exists(local) else os.path.join(_REF_MODELS, name)
+
+
+def main(num_envs: int = 2048, steps_per_block: int = 50,
+         blocks: int = 4) -> None:
+  import jax
+  import jax.numpy as jnp
+
+  from brax_rodent_run_tpu.mjcf.from_mj import load_mj_path
+  from brax_rodent_run_tpu.envs.rodent import Rodent
+  from brax_rodent_run_tpu.envs.wrappers import wrap_for_training
+
+  m = load_mj_path(_model_path("rodent_new.xml"), solver="cg",
+                   iterations=8, ls_iterations=8)
+  track = jnp.asarray(
+      np.cumsum(np.tile(np.array([[0.002, 0.0, 0.0]]), (260, 1)), axis=0),
+      jnp.float32)
+  env = wrap_for_training(Rodent(m, track_pos=track), episode_length=150)
+
+  rng = jax.random.split(jax.random.PRNGKey(0), num_envs)
+  state = jax.jit(env.reset)(rng)
+
+  def block(state, key):
+    def one(carry, _):
+      state, key = carry
+      key, akey = jax.random.split(key)
+      action = jax.random.uniform(
+          akey, (num_envs, env.action_size), jnp.float32, -0.3, 0.3)
+      state = env.step(state, action)
+      return (state, key), ()
+
+    (state, key), _ = jax.lax.scan(one, (state, key), (),
+                                   length=steps_per_block)
+    return state, key
+
+  block = jax.jit(block, donate_argnums=(0,))
+
+  key = jax.random.PRNGKey(1)
+  # compile + warmup
+  state, key = block(state, key)
+  jax.block_until_ready(state.obs)
+
+  t0 = time.perf_counter()
+  for _ in range(blocks):
+    state, key = block(state, key)
+  jax.block_until_ready(state.obs)
+  dt = time.perf_counter() - t0
+
+  env_steps = num_envs * steps_per_block * blocks
+  steps_per_s = env_steps / dt
+  print(json.dumps({
+      "metric": "rodent_env_steps_per_s_2048envs_1chip",
+      "value": round(steps_per_s, 1),
+      "unit": "env_steps/s",
+      "vs_baseline": round(steps_per_s / BASELINE_ENV_STEPS_PER_S, 3),
+  }))
+
+
+if __name__ == "__main__":
+  main()

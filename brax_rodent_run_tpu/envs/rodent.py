@@ -82,6 +82,7 @@ class Rodent(Env):
     return State(data, obs, reward, done, metrics, info)
 
   def step(self, state: State, action: jax.Array) -> State:
+    action = jnp.asarray(action, self._dtype)
     data0 = state.pipeline_state
     data = self.pipeline_step(data0, action)
 
@@ -97,7 +98,8 @@ class Rodent(Env):
 
     min_z, max_z = self._healthy_z_range
     is_healthy = jnp.where(data.qpos[2] < min_z, 0.0, 1.0)
-    is_healthy = jnp.where(data.qpos[2] > max_z, 0.0, is_healthy)
+    is_healthy = jnp.where(data.qpos[2] > max_z, 0.0,
+                           is_healthy).astype(self._dtype)
     if self._terminate_when_unhealthy:
       healthy_reward = jnp.asarray(self._healthy_reward, self._dtype)
     else:

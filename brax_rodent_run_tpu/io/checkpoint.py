@@ -1,0 +1,46 @@
+"""Param + train-state checkpointing.
+
+``save_params``/``load_params`` replicate the single-file flax-serialization
+round trip the reference uses (brax.io.model at brax_rodent_run_ppo.py:138,
+205 and render_rollout.ipynb cell 4): the saved bundle is the
+(normalizer_state, policy_params, value_params) triple, loadable without any
+trainer state.
+
+``save_train_state``/``load_train_state`` close the gap SURVEY.md §5 calls
+out (the reference has checkpoints but NO resume): the full TrainingState
+(params, optimizer state, normalizer, env_steps) round-trips so training can
+resume exactly.
+"""
+
+from __future__ import annotations
+
+import pickle
+from typing import Any
+
+import jax
+from flax import serialization
+
+
+def save_params(path: str, params: Any) -> None:
+  """Serialize a params pytree to a single file (brax.io.model contract)."""
+  with open(path, "wb") as f:
+    f.write(pickle.dumps(serialization.to_state_dict(
+        jax.device_get(params))))
+
+
+def load_params(path: str, target: Any = None) -> Any:
+  """Load params; with ``target`` restores exact pytree types, else returns
+  the raw nested state dict."""
+  with open(path, "rb") as f:
+    state = pickle.loads(f.read())
+  if target is not None:
+    return serialization.from_state_dict(target, state)
+  return state
+
+
+def save_train_state(path: str, train_state: Any) -> None:
+  save_params(path, train_state)
+
+
+def load_train_state(path: str, target: Any) -> Any:
+  return load_params(path, target)

@@ -1,0 +1,280 @@
+"""On-device PPO actor-learner (single program, mesh-parallel).
+
+Re-implements the capability the reference delegates to brax's
+``ppo.train`` (brax_rodent_run_ppo.py:97-114,200; SURVEY.md §2.3): rollout
+collection, GAE, and minibatched policy/value updates fused into ONE jitted
+training epoch, with the same hyperparameter semantics:
+
+  env_steps / training_step = batch_size * unroll_length * num_minibatches
+  num_training_steps_per_epoch = ceil(num_timesteps /
+                                      (max(num_evals-1,1) * that))
+
+TPU-first design (SURVEY.md §7 step 5-6): instead of the reference's
+pmap+NCCL device loop, the epoch body runs under ``shard_map`` over a
+``jax.sharding.Mesh`` data axis — envs sharded over chips, params/optimizer
+replicated, gradient ``pmean`` and normalizer ``psum`` lowering to ICI
+collectives. Control returns to the host only between evals (SURVEY.md §3.1
+"control crosses the device boundary only at eval epochs").
+
+Returns ``(make_policy_fn, params, metrics)`` where params is the
+``(normalizer_state, policy_params, value_params)`` triple the reference
+saves/loads (brax_rodent_run_ppo.py:138,205; render_rollout.ipynb cell 3-4).
+"""
+
+from __future__ import annotations
+
+import functools
+import math as pymath
+import time
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import struct
+from jax import shard_map
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from brax_rodent_run_tpu.envs import wrappers
+from brax_rodent_run_tpu.envs.base import Env
+from brax_rodent_run_tpu.training import acting, losses
+from brax_rodent_run_tpu.training import networks as ppo_networks
+from brax_rodent_run_tpu.training import running_statistics as rs
+from brax_rodent_run_tpu.training.networks import PPONetworkParams
+
+_AXIS = "data"
+
+
+@struct.dataclass
+class TrainingState:
+  optimizer_state: optax.OptState
+  params: PPONetworkParams
+  normalizer_state: rs.RunningStatisticsState
+  env_steps: jax.Array
+
+
+def _strip_weak(tree):
+  return jax.tree_util.tree_map(
+      lambda x: jnp.asarray(x) if not isinstance(x, jnp.ndarray) else x, tree)
+
+
+def train(
+    environment: Env,
+    num_timesteps: int,
+    episode_length: int,
+    action_repeat: int = 1,
+    num_envs: int = 1,
+    num_eval_envs: int = 128,
+    learning_rate: float = 1e-4,
+    entropy_cost: float = 1e-4,
+    discounting: float = 0.9,
+    seed: int = 0,
+    unroll_length: int = 10,
+    batch_size: int = 32,
+    num_minibatches: int = 16,
+    num_updates_per_batch: int = 2,
+    num_evals: int = 1,
+    normalize_observations: bool = False,
+    reward_scaling: float = 1.0,
+    clipping_epsilon: float = 0.3,
+    gae_lambda: float = 0.95,
+    normalize_advantage: bool = True,
+    max_grad_norm: Optional[float] = None,
+    network_factory: Callable[..., ppo_networks.PPONetworks] =
+    ppo_networks.make_ppo_networks,
+    progress_fn: Callable[[int, Dict[str, Any]], None] = lambda *a: None,
+    policy_params_fn: Callable[..., None] = lambda *a: None,
+    eval_env: Optional[Env] = None,
+    mesh: Optional[Mesh] = None,
+    deterministic_eval: bool = False,
+    restore_params: Optional[Tuple] = None,
+):
+  """Train PPO on ``environment``; see module docstring for the contract."""
+  if mesh is None:
+    devices = jax.devices()
+    # use the largest device count that divides num_envs
+    n = len(devices)
+    while num_envs % n != 0:
+      n -= 1
+    mesh = Mesh(np.asarray(devices[:n]), (_AXIS,))
+  num_devices = mesh.devices.size
+  assert num_envs % num_devices == 0, (num_envs, num_devices)
+  assert (batch_size * num_minibatches) % num_envs == 0
+  num_unrolls = batch_size * num_minibatches // num_envs
+  # one training step consumes this many environment steps:
+  env_step_per_training_step = (
+      batch_size * unroll_length * num_minibatches * action_repeat)
+  num_evals_after_init = max(num_evals - 1, 1)
+  num_training_steps_per_epoch = pymath.ceil(
+      num_timesteps / (num_evals_after_init * env_step_per_training_step))
+
+  env = wrappers.wrap_for_training(environment, episode_length=episode_length,
+                                   action_repeat=action_repeat)
+
+  obs_size = environment.observation_size
+  action_size = environment.action_size
+
+  networks = network_factory(observation_size=obs_size,
+                             action_size=action_size)
+  make_policy = ppo_networks.make_inference_fn(networks)
+
+  optimizer = optax.adam(learning_rate=learning_rate)
+  if max_grad_norm is not None:
+    optimizer = optax.chain(optax.clip_by_global_norm(max_grad_norm),
+                            optimizer)
+
+  loss_fn = functools.partial(
+      losses.compute_ppo_loss,
+      networks=networks,
+      entropy_cost=entropy_cost,
+      discounting=discounting,
+      reward_scaling=reward_scaling,
+      gae_lambda=gae_lambda,
+      clipping_epsilon=clipping_epsilon,
+      normalize_advantage=normalize_advantage)
+
+  # ---------------------------------------------------------------- sgd
+  def minibatch_step(carry, data: acting.Transition):
+    optimizer_state, params, normalizer_state, key = carry
+    key, loss_key = jax.random.split(key)
+    (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+        params, normalizer_state, data, loss_key)
+    grads = jax.lax.pmean(grads, _AXIS)
+    updates, optimizer_state = optimizer.update(grads, optimizer_state,
+                                                params)
+    params = optax.apply_updates(params, updates)
+    return (optimizer_state, params, normalizer_state, key), metrics
+
+  def sgd_epoch(carry, _):
+    optimizer_state, params, normalizer_state, data, key = carry
+    key, perm_key, step_key = jax.random.split(key, 3)
+
+    # shuffle local sequences, split into local minibatches
+    def shuffle(x):
+      x = jax.random.permutation(perm_key, x)
+      return x.reshape((num_minibatches, -1) + x.shape[1:])
+
+    shuffled = jax.tree_util.tree_map(shuffle, data)
+    (optimizer_state, params, _, _), metrics = jax.lax.scan(
+        minibatch_step, (optimizer_state, params, normalizer_state, step_key),
+        shuffled, length=num_minibatches)
+    return (optimizer_state, params, normalizer_state, data, key), metrics
+
+  # ------------------------------------------------------- training step
+  def training_step(carry, _):
+    ts, env_state, key = carry
+    key, unroll_key, sgd_key, new_key = jax.random.split(key, 4)
+
+    policy = make_policy((ts.normalizer_state, ts.params.policy,
+                          ts.params.value))
+
+    def rollout(carry, _):
+      state, k = carry
+      k, uk = jax.random.split(k)
+      nstate, data = acting.generate_unroll(
+          env, state, policy, uk, unroll_length,
+          extra_fields=("truncation",))
+      return (nstate, k), data
+
+    (env_state, _), data = jax.lax.scan(
+        rollout, (env_state, unroll_key), (), length=num_unrolls)
+    # (num_unrolls, T, E_local, ...) -> (num_unrolls*E_local, T, ...)
+    data = jax.tree_util.tree_map(lambda x: jnp.swapaxes(x, 1, 2), data)
+    data = jax.tree_util.tree_map(
+        lambda x: x.reshape((-1,) + x.shape[2:]), data)
+
+    normalizer_state = rs.update(ts.normalizer_state,
+                                 data.observation.reshape((-1, obs_size)),
+                                 pmap_axis_name=_AXIS)
+
+    (optimizer_state, params, _, _, _), sgd_metrics = jax.lax.scan(
+        sgd_epoch,
+        (ts.optimizer_state, ts.params, normalizer_state, data, sgd_key),
+        (), length=num_updates_per_batch)
+
+    new_ts = TrainingState(
+        optimizer_state=optimizer_state, params=params,
+        normalizer_state=normalizer_state,
+        env_steps=ts.env_steps + env_step_per_training_step)
+    metrics = jax.tree_util.tree_map(jnp.mean, sgd_metrics)
+    return (new_ts, env_state, new_key), metrics
+
+  # ------------------------------------------------------ training epoch
+  @functools.partial(
+      shard_map, mesh=mesh,
+      in_specs=(P(), P(_AXIS), P()),
+      out_specs=(P(), P(_AXIS), P()),
+      check_vma=False)
+  def training_epoch(ts: TrainingState, env_state, key: jax.Array):
+    key = jax.random.fold_in(key, jax.lax.axis_index(_AXIS))
+    (ts, env_state, _), metrics = jax.lax.scan(
+        training_step, (ts, env_state, key), (),
+        length=num_training_steps_per_epoch)
+    metrics = jax.lax.pmean(jax.tree_util.tree_map(jnp.mean, metrics), _AXIS)
+    return ts, env_state, metrics
+
+  training_epoch = jax.jit(training_epoch, donate_argnums=(1,))
+
+  # ---------------------------------------------------------------- init
+  key = jax.random.PRNGKey(seed)
+  key, net_key, env_key, eval_key, epoch_key = jax.random.split(key, 5)
+
+  init_params = networks.init(net_key)
+  ts = TrainingState(
+      optimizer_state=optimizer.init(init_params),
+      params=init_params,
+      normalizer_state=rs.init_state(jnp.zeros(obs_size)),
+      env_steps=jnp.zeros((), jnp.int64 if
+                          jax.config.jax_enable_x64 else jnp.int32))
+  if restore_params is not None:
+    ts = ts.replace(
+        normalizer_state=restore_params[0],
+        params=PPONetworkParams(policy=restore_params[1],
+                                value=restore_params[2]))
+  ts = _strip_weak(ts)
+
+  env_sharding = NamedSharding(mesh, P(_AXIS))
+  reset_keys = jax.random.split(env_key, num_envs)
+  env_state = jax.jit(env.reset, out_shardings=env_sharding)(reset_keys)
+
+  evaluator = acting.Evaluator(
+      wrappers.EpisodeWrapper(eval_env or environment, episode_length,
+                              action_repeat),
+      functools.partial(make_policy, deterministic=deterministic_eval),
+      num_eval_envs=num_eval_envs, episode_length=episode_length,
+      action_repeat=action_repeat, key=eval_key)
+
+  def params_tuple(ts):
+    return (ts.normalizer_state, ts.params.policy, ts.params.value)
+
+  all_metrics = {}
+  current_step = 0
+
+  # eval before any training (num_evals >= 2 semantics)
+  if num_evals > 1:
+    all_metrics = evaluator.run_evaluation(params_tuple(ts))
+    progress_fn(0, all_metrics)
+
+  for epoch in range(num_evals_after_init):
+    t0 = time.perf_counter()
+    epoch_key = jax.random.fold_in(epoch_key, epoch)
+    ts, env_state, train_metrics = training_epoch(ts, env_state, epoch_key)
+    train_metrics = jax.device_get(train_metrics)
+    epoch_dt = time.perf_counter() - t0
+    current_step = int(jax.device_get(ts.env_steps))
+
+    sps = (num_training_steps_per_epoch * env_step_per_training_step
+           / epoch_dt)
+    metrics = {
+        "training/sps": sps,
+        "training/walltime": epoch_dt,
+        **{f"training/{k}": float(np.mean(v))
+           for k, v in train_metrics.items()},
+    }
+    metrics.update(evaluator.run_evaluation(params_tuple(ts)))
+    all_metrics = metrics
+    progress_fn(current_step, metrics)
+    policy_params_fn(current_step, make_policy, params_tuple(ts))
+
+  return make_policy, params_tuple(ts), all_metrics
