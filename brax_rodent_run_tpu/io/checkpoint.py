@@ -24,17 +24,21 @@ from flax import serialization
 def save_params(path: str, params: Any) -> None:
   """Serialize a params pytree to a single file (brax.io.model contract)."""
   with open(path, "wb") as f:
-    f.write(pickle.dumps(serialization.to_state_dict(
-        jax.device_get(params))))
+    f.write(pickle.dumps(jax.device_get(params)))
 
 
 def load_params(path: str, target: Any = None) -> Any:
-  """Load params; with ``target`` restores exact pytree types, else returns
-  the raw nested state dict."""
+  """Load params usable directly (the (normalizer_state, policy, value)
+  triple round-trips as-is); ``target`` restores exact pytree types from a
+  legacy state-dict-form file."""
   with open(path, "rb") as f:
     state = pickle.loads(f.read())
-  if target is not None:
+  if target is not None and isinstance(state, dict):
     return serialization.from_state_dict(target, state)
+  if (target is None and isinstance(state, dict)
+      and set(state) == {str(i) for i in range(len(state))}):
+    # legacy save of a tuple via to_state_dict
+    return tuple(state[str(i)] for i in range(len(state)))
   return state
 
 

@@ -100,7 +100,7 @@ def _plane_box(p1, m1, s1, p2, m2, s2):
   signs = jnp.array([[sx, sy, sz] for sx in (-1, 1) for sy in (-1, 1)
                      for sz in (-1, 1)], dtype=p2.dtype)       # (8,3)
   corners = p2[..., None, :] + jnp.einsum(
-      '...ij,kj->...ki', m2, signs * s2[..., None, :])         # (S,8,3)
+      '...ij,...kj->...ki', m2, signs * s2[..., None, :])      # (S,8,3)
   cdist = jnp.sum(n[..., None, :] * (corners - p1[..., None, :]), axis=-1)
   # keep the 4 deepest corners (static top-k via sort)
   order = jnp.argsort(cdist, axis=-1)

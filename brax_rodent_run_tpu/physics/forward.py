@@ -12,6 +12,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from brax_rodent_run_tpu.physics import collision, constraint, math, smooth
+from brax_rodent_run_tpu.physics import sensor as sensor_mod
 from brax_rodent_run_tpu.physics import solver as solver_mod
 from brax_rodent_run_tpu.physics.types import (
     Data, DisableBit, JointType, Model)
@@ -38,9 +39,11 @@ def fwd_velocity(m: Model, d: Data) -> Data:
 def forward(m: Model, d: Data) -> Data:
   d = fwd_position(m, d)
   d = fwd_velocity(m, d)
+  d = sensor_mod.sensor_vel(m, d)
   d = smooth.fwd_actuation(m, d)
   d = smooth.fwd_acceleration(m, d)
   d = solver_mod.solve(m, d)
+  d = sensor_mod.sensor_acc(m, d)
   return d
 
 

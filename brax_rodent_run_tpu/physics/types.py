@@ -81,12 +81,14 @@ class SolverType(enum.IntEnum):
 
 
 class SensorType(enum.IntEnum):
-  # subset exercised by the reference models (rodent_optimized.xml:573-582)
+  # subset exercised by the reference models (rodent_optimized.xml:573-582);
+  # values match mujoco.mjtSensor (3.x)
   TOUCH = 0
   ACCELEROMETER = 1
   VELOCIMETER = 2
   GYRO = 3
-  SUBTREELINVEL = 27
+  SUBTREECOM = 35
+  SUBTREELINVEL = 36
 
 
 class DisableBit(enum.IntFlag):

@@ -63,6 +63,14 @@ def test_trajectory(name, solver, steps, tol):
     max_err = max(max_err, err)
     assert err < tol * (1 + 30 * t), (
         f"{name}/{solver} diverged at step {t}: {err}")
+    if mj_model.nsensordata:
+      # sensor parity rides the same rollout (rodent declares 8 sensors,
+      # rodent_new.xml:558-567); avoids a second multi-minute jit compile
+      serr = float(np.max(
+          np.abs(np.asarray(d.sensordata) - mjd.sensordata)
+          / (1.0 + np.abs(mjd.sensordata))))
+      assert serr < 100 * tol * (1 + 30 * t), (
+          f"{name}/{solver} sensordata diverged at step {t}: {serr}")
   # report-style sanity: final state finite
   assert np.all(np.isfinite(np.asarray(d.qpos)))
   assert np.all(np.isfinite(np.asarray(d.qvel)))
