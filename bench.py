@@ -65,15 +65,21 @@ def main(num_envs: int = 2048, steps_per_block: int = 50,
 
   block = jax.jit(block, donate_argnums=(0,))
 
+  def sync(state):
+    # fetch real output data: under the axon tunnel block_until_ready
+    # returns before device execution finishes, so a host read of a
+    # computed value is the only trustworthy barrier.
+    return float(jnp.sum(state.reward))
+
   key = jax.random.PRNGKey(1)
   # compile + warmup
   state, key = block(state, key)
-  jax.block_until_ready(state.obs)
+  sync(state)
 
   t0 = time.perf_counter()
   for _ in range(blocks):
     state, key = block(state, key)
-  jax.block_until_ready(state.obs)
+  sync(state)
   dt = time.perf_counter() - t0
 
   env_steps = num_envs * steps_per_block * blocks

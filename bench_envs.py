@@ -59,6 +59,11 @@ def bench_one(env, num_envs: int, steps: int, scan: bool):
   state = jax.jit(wrapped.reset)(rng)
   act = jnp.zeros((num_envs, env.action_size), jnp.float32)
 
+  def sync(s):
+    # host read of a computed output: the only trustworthy barrier under
+    # the axon tunnel (block_until_ready returns before execution ends).
+    return float(jnp.sum(s.reward))
+
   if scan:
     def run(state, act):
       def f(s, _):
@@ -67,18 +72,18 @@ def bench_one(env, num_envs: int, steps: int, scan: bool):
       s, _ = jax.lax.scan(f, state, (), length=steps)
       return s
     run = jax.jit(run)
-    state2 = jax.block_until_ready(run(state, act))     # compile
+    sync(run(state, act))                               # compile
     t0 = time.perf_counter()
-    state2 = jax.block_until_ready(run(state, act))
+    sync(run(state, act))
     dt = time.perf_counter() - t0
   else:
     step = jax.jit(wrapped.step)
-    state2 = jax.block_until_ready(step(state, act))    # compile
+    sync(step(state, act))                              # compile
     t0 = time.perf_counter()
     s = state
     for _ in range(steps):
       s = step(s, act)
-    jax.block_until_ready(s)
+    sync(s)
     dt = time.perf_counter() - t0
   return num_envs * steps / dt
 

@@ -1,0 +1,249 @@
+"""Batched SPD Cholesky as a Pallas TPU kernel.
+
+The physics pipeline factors the (nv, nv) mass matrix (and the Euler
+implicit-damping matrix M + h·diag(B)) once per substep per env
+(smooth.factor_m, forward.euler). XLA's generic blocked Cholesky costs
+~16 ms for a (2048, 73, 73) batch on one TPU chip — 2× per substep it
+dominates the whole step (measured in profile_stages.py). nv is tiny and
+the batch is huge, so the right mapping is **batch along lanes**: each
+grid cell holds a (n, n, 128) tile in VMEM (one matrix per lane) and runs
+an unrolled right-looking factorization — 8-16 VPU ops per column, no
+MXU, no inter-lane traffic.
+
+``spd_cholesky`` is the public entry: unbatched it is
+``jax.scipy.linalg.cholesky``; under ``vmap`` (the physics pipeline is
+written per-env and vmapped) a custom batching rule dispatches to the
+kernel on TPU f32 and to XLA everywhere else (CPU float64 oracle tests,
+odd dtypes).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+_LANES = 128
+
+# test hook: run the kernel through the Pallas interpreter on any backend
+# (used by the CPU test suite to exercise the kernel path)
+FORCE_INTERPRET = False
+
+
+def _round_up(x: int, m: int) -> int:
+  return ((x + m - 1) // m) * m
+
+
+# rank-1 sweeps only touch a shrinking/growing triangle; slicing at _BLK
+# granularity cuts VPU work ~3x while keeping the distinct-shape count
+# (and Mosaic compile time) small
+_BLK = 16
+
+
+def _blk_lo(k):
+  return (k // _BLK) * _BLK
+
+
+def _blk_hi(k, np_):
+  return min(_round_up(k + 1, _BLK), np_)
+
+
+def _chol_inplace(n, np_, a_ref, l_ref):
+  """Factor A (in a_ref, destroyed) into l_ref, in place on VMEM refs."""
+  rows = jax.lax.broadcasted_iota(jnp.int32, (np_, 1), 0)
+  dtype = a_ref.dtype
+  for k in range(n):
+    akk = a_ref[k, k, :]                            # (128,)
+    inv = jax.lax.rsqrt(jnp.maximum(akk, 1e-30))
+    col = a_ref[:, k, :] * inv[None, :]             # (np_, 128)
+    col = jnp.where(rows >= k, col, 0.0)            # L[k,k] = sqrt(akk)
+    l_ref[:, k, :] = col
+    # trailing update; touches only rows/cols > k because col is
+    # zeroed above the diagonal of column k
+    s = _blk_lo(k)
+    ct = col[s:]
+    a_ref[s:, s:, :] = a_ref[s:, s:, :] - ct[:, None, :] * ct[None, :, :]
+  for k in range(n, np_):                           # identity padding
+    l_ref[:, k, :] = jnp.broadcast_to(
+        jnp.where(rows == k, 1.0, 0.0), (np_, _LANES)).astype(dtype)
+
+
+def _inv_from_chol_inplace(np_, l_ref, x_ref, inv_ref):
+  """Given L in l_ref: X = L^-1 (built in x_ref) then inv = X^T X.
+
+  Column-parallel forward substitution, n rank-1 sweeps; every update is
+  restricted to a block-rounded triangle."""
+  rows1 = jax.lax.broadcasted_iota(jnp.int32, (np_, 1), 0)
+  eye2 = (jax.lax.broadcasted_iota(jnp.int32, (np_, np_, 1), 0)
+          == jax.lax.broadcasted_iota(jnp.int32, (np_, np_, 1), 1))
+  x_ref[:] = jnp.broadcast_to(eye2, (np_, np_, _LANES)).astype(l_ref.dtype)
+  for k in range(np_):
+    hi = _blk_hi(k, np_)
+    inv_diag = 1.0 / jnp.maximum(l_ref[k, k, :], 1e-30)
+    xk = x_ref[k, :hi, :] * inv_diag[None, :]       # (hi, 128)
+    colL = jnp.where(rows1 > k, l_ref[:, k, :], 0.0)
+    lo = _blk_lo(min(k + 1, np_ - 1))
+    cl = colL[lo:]
+    x_ref[lo:, :hi, :] = x_ref[lo:, :hi, :] - cl[:, None, :] * xk[None, :, :]
+    x_ref[k, :hi, :] = xk
+  inv_ref[:] = jnp.zeros((np_, np_, _LANES), l_ref.dtype)
+  for k in range(np_):
+    hi = _blk_hi(k, np_)
+    xk = x_ref[k, :hi, :]
+    inv_ref[:hi, :hi, :] = (inv_ref[:hi, :hi, :]
+                            + xk[:, None, :] * xk[None, :, :])
+
+
+@functools.lru_cache(maxsize=32)
+def _factor_kernel(n: int, np_: int, interpret: bool = False):
+  """Unrolled right-looking Cholesky on a (np_, np_, 128) VMEM tile."""
+  from jax.experimental import pallas as pl
+  from jax.experimental.pallas import tpu as pltpu
+
+  def kernel(a_ref, l_ref, scratch):
+    scratch[:] = a_ref[:]
+    _chol_inplace(n, np_, scratch, l_ref)
+
+  def call(x):                                      # (np_, np_, B)
+    B = x.shape[-1]
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((np_, np_, B), x.dtype),
+        grid=(B // _LANES,),
+        in_specs=[pl.BlockSpec((np_, np_, _LANES),
+                               lambda i: (0, 0, i),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((np_, np_, _LANES),
+                               lambda i: (0, 0, i),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((np_, np_, _LANES), x.dtype)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(x)
+
+  return call
+
+
+@functools.lru_cache(maxsize=32)
+def _inverse_kernel(n: int, np_: int, interpret: bool = False):
+  """SPD inverse on a (np_, np_, 128) VMEM tile: factor, invert L by
+  forward substitution, form A^-1 = L^-T L^-1. Turns every downstream
+  mass-matrix solve into one MXU-friendly matvec (XLA's batched
+  triangular_solve / Cholesky are the hottest ops in the physics substep
+  otherwise)."""
+  from jax.experimental import pallas as pl
+  from jax.experimental.pallas import tpu as pltpu
+
+  def kernel(a_ref, inv_ref, s_a, s_l):
+    s_a[:] = a_ref[:]
+    _chol_inplace(n, np_, s_a, s_l)
+    # s_a is destroyed; reuse it as the X buffer
+    _inv_from_chol_inplace(np_, s_l, s_a, inv_ref)
+
+  def call(x):
+    B = x.shape[-1]
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((np_, np_, B), x.dtype),
+        grid=(B // _LANES,),
+        in_specs=[pl.BlockSpec((np_, np_, _LANES),
+                               lambda i: (0, 0, i),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((np_, np_, _LANES),
+                               lambda i: (0, 0, i),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((np_, np_, _LANES), x.dtype),
+                        pltpu.VMEM((np_, np_, _LANES), x.dtype)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(x)
+
+  return call
+
+
+def cholesky_batched(M: jax.Array) -> jax.Array:
+  """Lower-triangular Cholesky of a batch of SPD matrices (B, n, n)."""
+  B, n, _ = M.shape
+  interpret = FORCE_INTERPRET
+  if not interpret and (jax.default_backend() != "tpu"
+                        or M.dtype != jnp.float32 or n > 256):
+    return jax.scipy.linalg.cholesky(M, lower=True)
+  np_ = _round_up(n, 8)
+  Bp = _round_up(max(B, _LANES), _LANES)
+  x = jnp.transpose(M, (1, 2, 0))                   # (n, n, B)
+  x = jnp.pad(x, ((0, np_ - n), (0, np_ - n), (0, Bp - B)))
+  # identity on the diagonal padding keeps rsqrt well-defined
+  if np_ > n:
+    pad_eye = jnp.zeros((np_, np_, 1), M.dtype).at[
+        jnp.arange(n, np_), jnp.arange(n, np_), 0].set(1.0)
+    x = x + pad_eye
+  L = _factor_kernel(n, np_, interpret)(x)
+  return jnp.transpose(L[:n, :n, :B], (2, 0, 1))
+
+
+def inverse_batched(M: jax.Array) -> jax.Array:
+  """Inverse of a batch of SPD matrices (B, n, n) via the fused kernel."""
+  B, n, _ = M.shape
+  interpret = FORCE_INTERPRET
+  if not interpret and (jax.default_backend() != "tpu"
+                        or M.dtype != jnp.float32 or n > 256):
+    L = jax.scipy.linalg.cholesky(M, lower=True)
+    eye = jnp.broadcast_to(jnp.eye(n, dtype=M.dtype), M.shape)
+    return jax.scipy.linalg.cho_solve((L, True), eye)
+  np_ = _round_up(n, 8)
+  Bp = _round_up(max(B, _LANES), _LANES)
+  x = jnp.transpose(M, (1, 2, 0))
+  x = jnp.pad(x, ((0, np_ - n), (0, np_ - n), (0, Bp - B)))
+  if np_ > n:
+    pad_eye = jnp.zeros((np_, np_, 1), M.dtype).at[
+        jnp.arange(n, np_), jnp.arange(n, np_), 0].set(1.0)
+    x = x + pad_eye
+  inv = _inverse_kernel(n, np_, interpret)(x)
+  return jnp.transpose(inv[:n, :n, :B], (2, 0, 1))
+
+
+@jax.custom_batching.custom_vmap
+def spd_inverse(M: jax.Array) -> jax.Array:
+  """Inverse of one SPD matrix; batches (via vmap) hit the TPU kernel."""
+  L = jax.scipy.linalg.cholesky(M, lower=True)
+  eye = jnp.eye(M.shape[-1], dtype=M.dtype)
+  return jax.scipy.linalg.cho_solve((L, True), eye)
+
+
+@spd_inverse.def_vmap
+def _spd_inverse_vmap(axis_size, in_batched, M):
+  del axis_size
+  (m_batched,) = in_batched
+  if not m_batched:
+    L = jax.scipy.linalg.cholesky(M, lower=True)
+    eye = jnp.eye(M.shape[-1], dtype=M.dtype)
+    return jax.scipy.linalg.cho_solve((L, True), eye), False
+  if M.ndim > 3:
+    lead = M.shape[:-2]
+    flat = M.reshape((-1,) + M.shape[-2:])
+    return inverse_batched(flat).reshape(lead + M.shape[-2:]), True
+  return inverse_batched(M), True
+
+
+@jax.custom_batching.custom_vmap
+def spd_cholesky(M: jax.Array) -> jax.Array:
+  """Cholesky of one SPD matrix; batches (via vmap) hit the TPU kernel."""
+  return jax.scipy.linalg.cholesky(M, lower=True)
+
+
+@spd_cholesky.def_vmap
+def _spd_cholesky_vmap(axis_size, in_batched, M):
+  del axis_size
+  (m_batched,) = in_batched
+  if not m_batched:
+    return jax.scipy.linalg.cholesky(M, lower=True), False
+  if M.ndim > 3:
+    # nested vmap: flatten leading dims through the kernel
+    lead = M.shape[:-2]
+    flat = M.reshape((-1,) + M.shape[-2:])
+    return cholesky_batched(flat).reshape(lead + M.shape[-2:]), True
+  return cholesky_batched(M), True

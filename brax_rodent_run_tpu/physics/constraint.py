@@ -191,13 +191,97 @@ def _kbi(solref, solimp, timestep, dtype):
   return k, b
 
 
+# ---------------------------------------------------------------------------
+# Structured Jacobian operator: the dense (nefc, nv) matrix is never
+# materialized in the hot path. Joint-limit rows have a single static +-1
+# column; tendon-limit rows are sign * ten_J[t]; each contact point's
+# 1 + 2*(condim-1) pyramid rows derive from its 3 stored base rows.
+# ---------------------------------------------------------------------------
+
+
+@functools.lru_cache(maxsize=64)
+def _op_tables(m: Model):
+  """Static numpy tables for efc_matvec / efc_rmatvec.
+
+  Everything static lives in two compile-time-constant matrices so the
+  batched operator is pure MXU matmuls (tiny gathers/scatters are slow on
+  TPU):
+  - J_lim (nlimit, nv): the FULL limit-row Jacobian. Joint rows are +-1
+    columns; fixed-tendon rows are sign * wrap coefficients — both known
+    at compile time.
+  - C (ncon_rows, 3*ncon): pyramid-row composition over the flattened
+    per-point base rows [normal, t1, t2]: row = n + dirsign*mu*t.
+  """
+  lay = efc_layout(m)
+  is_joint = lay.lim_dof >= 0
+  J_lim = np.zeros((lay.nlimit, m.nv))
+  J_lim[np.arange(lay.nlimit)[is_joint], lay.lim_dof[is_joint]] = \
+      lay.lim_sign[is_joint]
+  for i in range(lay.nlimit):
+    if lay.lim_tendon[i] >= 0:
+      t = int(lay.lim_tendon[i])
+      adr, num = int(m.tendon_adr[t]), int(m.tendon_num[t])
+      for w in range(adr, adr + num):
+        dof = int(m.jnt_dofadr[int(m.wrap_jntid[w])])
+        J_lim[i, dof] = lay.lim_sign[i] * float(m.wrap_coef[w])
+  ncr = lay.ncon_rows
+  C = np.zeros((ncr, 3 * m.ncon_max))
+  if ncr:
+    r = np.arange(ncr)
+    C[r, 3 * lay.con_id] = 1.0
+    has_t = lay.con_diridx > 0
+    C[r[has_t], 3 * lay.con_id[has_t] + lay.con_diridx[has_t]] = \
+        (lay.con_dirsign * lay.con_mu)[has_t]
+  return lay, J_lim, C
+
+
+def efc_matvec(m: Model, con_Jbase: jax.Array, x: jax.Array) -> jax.Array:
+  """J @ x without materializing J. x: (nv,) -> (nefc,)."""
+  dt = x.dtype
+  lay, J_lim, C = _op_tables(m)
+  parts = []
+  if lay.nlimit:
+    parts.append(jnp.asarray(J_lim, dt) @ x)
+  if lay.ncon_rows:
+    base = (con_Jbase @ x).ravel()                   # (3*ncon,)
+    parts.append(jnp.asarray(C, dt) @ base)
+  return jnp.concatenate(parts) if len(parts) > 1 else parts[0]
+
+
+def efc_rmatvec(m: Model, con_Jbase: jax.Array, f: jax.Array) -> jax.Array:
+  """J^T @ f without materializing J. f: (nefc,) -> (nv,)."""
+  dt = f.dtype
+  lay, J_lim, C = _op_tables(m)
+  out = jnp.zeros(m.nv, dt)
+  if lay.nlimit:
+    out = out + jnp.asarray(J_lim, dt).T @ f[:lay.nlimit]
+  if lay.ncon_rows:
+    c = (jnp.asarray(C, dt).T @ f[lay.nlimit:]).reshape(m.ncon_max, 3)
+    out = out + jnp.einsum("cdv,cd->v", con_Jbase, c)
+  return out
+
+
+def dense_efc_J(m: Model, d: Data) -> jax.Array:
+  """Materialize the dense (nefc, nv) Jacobian (tests / Newton precond /
+  debugging only — never in the CG hot path)."""
+  dt = d.qpos.dtype
+  lay, J_lim, C = _op_tables(m)
+  blocks = []
+  if lay.nlimit:
+    blocks.append(jnp.asarray(J_lim, dt))
+  if lay.ncon_rows:
+    base = d.con_Jbase.reshape(3 * m.ncon_max, m.nv)
+    blocks.append(jnp.asarray(C, dt) @ base)
+  return jnp.concatenate(blocks) if len(blocks) > 1 else blocks[0]
+
+
 def make_constraint(m: Model, d: Data) -> Data:
   """Assemble efc arrays from limits + current contacts."""
   dt = d.qpos.dtype
   lay = efc_layout(m)
   nv, nefc = m.nv, lay.nefc
   if nefc == 0 or (m.opt.disableflags & DisableBit.CONSTRAINT):
-    return d.replace(efc_J=jnp.zeros((lay.nefc, nv), dt),
+    return d.replace(con_Jbase=jnp.zeros((m.ncon_max, 3, nv), dt),
                      efc_D=jnp.zeros(lay.nefc, dt),
                      efc_aref=jnp.zeros(lay.nefc, dt),
                      efc_pos=jnp.zeros(lay.nefc, dt),
@@ -206,27 +290,25 @@ def make_constraint(m: Model, d: Data) -> Data:
   ts = jnp.asarray(m.opt.timestep, dt)
   mk = masks(m)
 
-  Js, Ds, arefs, poss, margins, actives = [], [], [], [], [], []
+  Ds, arefs, poss, margins, actives = [], [], [], [], []
+  con_Jbase = jnp.zeros((m.ncon_max, 3, nv), dt)
 
   # ---- limit rows -------------------------------------------------------
   if lay.nlimit and not (m.opt.disableflags & DisableBit.LIMIT):
-    nlim = lay.nlimit
     sign = jnp.asarray(lay.lim_sign, dt)
     bound = jnp.asarray(lay.lim_bound, dt)
-    # joint rows: qpos at the joint's qposadr; tendon rows: ten_length
-    J = jnp.zeros((nlim, nv), dt)
-    vals = jnp.zeros(nlim, dt)
-    for i in range(nlim):
-      if lay.lim_dof[i] >= 0:
-        dof = int(lay.lim_dof[i])
-        jid = int(m.dof_jntid[dof])
-        qadr = int(m.jnt_qposadr[jid])
-        vals = vals.at[i].set(d.qpos[qadr])
-        J = J.at[i, dof].set(float(lay.lim_sign[i]))
-      else:
-        t = int(lay.lim_tendon[i])
-        vals = vals.at[i].set(d.ten_length[t])
-        J = J.at[i].set(float(lay.lim_sign[i]) * d.ten_J[t])
+    is_joint = lay.lim_dof >= 0
+    qadr = np.where(
+        is_joint,
+        m.jnt_qposadr[m.dof_jntid[np.maximum(lay.lim_dof, 0)]], 0)
+    tadr = np.maximum(lay.lim_tendon, 0)
+    vals = jnp.where(jnp.asarray(is_joint),
+                     d.qpos[jnp.asarray(qadr, jnp.int32)],
+                     d.ten_length[jnp.asarray(tadr, jnp.int32)]
+                     if m.ntendon else 0.0)
+    # row velocity J@qvel via the static limit Jacobian
+    _, J_lim, _ = _op_tables(m)
+    vel = jnp.asarray(J_lim, dt) @ d.qvel
     # distance to the limit: lower: q - lo ; upper: hi - q
     dist = sign * (vals - bound)
     margin = jnp.asarray(lay.lim_margin, dt)
@@ -234,19 +316,16 @@ def make_constraint(m: Model, d: Data) -> Data:
     imp = _impedance(jnp.asarray(lay.lim_solimp, dt), dist, margin, dt)
     k, b = _kbi(jnp.asarray(lay.lim_solref, dt),
                 jnp.asarray(lay.lim_solimp, dt), ts, dt)
-    vel = J @ d.qvel
     aref = -b * vel - k * imp * (dist - margin)
     R = jnp.maximum((1.0 - imp) / jnp.maximum(imp, _MINVAL)
                     * jnp.asarray(lay.lim_invweight, dt), _MINVAL)
     D = jnp.where(active, 1.0 / R, 0.0)
-    Js.append(J)
     Ds.append(D)
     arefs.append(aref)
     poss.append(dist)
     margins.append(margin)
     actives.append(active)
   elif lay.nlimit:
-    Js.append(jnp.zeros((lay.nlimit, nv), dt))
     Ds.append(jnp.zeros(lay.nlimit, dt))
     arefs.append(jnp.zeros(lay.nlimit, dt))
     poss.append(jnp.zeros(lay.nlimit, dt))
@@ -255,7 +334,6 @@ def make_constraint(m: Model, d: Data) -> Data:
 
   # ---- contact rows ------------------------------------------------------
   if lay.ncon_rows and not (m.opt.disableflags & DisableBit.CONTACT):
-    ncon = m.ncon_max
     pos_c = d.contact.pos                                  # (ncon, 3)
     frame = d.contact.frame                                # (ncon, 3, 3)
     dist = d.contact.dist
@@ -273,15 +351,12 @@ def make_constraint(m: Model, d: Data) -> Data:
       return jacp * mask[:, :, None]                       # (ncon, nv, 3)
 
     jac_rel = point_jac(lay.con_body2) - point_jac(lay.con_body1)
+    # 3 base rows per point: [normal, tangent1, tangent2] . jac
+    con_Jbase = jnp.einsum('cvk,cdk->cdv', jac_rel, frame)  # (ncon, 3, nv)
 
-    # per-row direction: frame row 0 (normal) ± mu * frame row diridx
     rid = lay.con_id                                       # (nrows,)
-    normal = frame[rid, 0]                                 # (nrows, 3)
-    tangent = frame[rid, lay.con_diridx]
-    mu = jnp.asarray(lay.con_mu, dt)[:, None]
-    sgn = jnp.asarray(lay.con_dirsign, dt)[:, None]
-    direction = normal + sgn * mu * tangent                # (nrows, 3)
-    J = jnp.einsum('rvk,rk->rv', jac_rel[rid], direction)  # (nrows, nv)
+    _, _, C = _op_tables(m)
+    vel = jnp.asarray(C, dt) @ (con_Jbase @ d.qvel).ravel()
 
     pos_r = dist[rid]
     margin = jnp.asarray(lay.con_margin, dt)
@@ -289,19 +364,16 @@ def make_constraint(m: Model, d: Data) -> Data:
     imp = _impedance(jnp.asarray(lay.con_solimp, dt), pos_r, margin, dt)
     k, b = _kbi(jnp.asarray(lay.con_solref, dt),
                 jnp.asarray(lay.con_solimp, dt), ts, dt)
-    vel = J @ d.qvel
     aref = -b * vel - k * imp * (pos_r - margin)
     R = jnp.maximum((1.0 - imp) / jnp.maximum(imp, _MINVAL)
                     * jnp.asarray(lay.con_invweight, dt), _MINVAL)
     D = jnp.where(active, 1.0 / R, 0.0)
-    Js.append(J)
     Ds.append(D)
     arefs.append(aref)
     poss.append(pos_r)
     margins.append(margin)
     actives.append(active)
   elif lay.ncon_rows:
-    Js.append(jnp.zeros((lay.ncon_rows, nv), dt))
     Ds.append(jnp.zeros(lay.ncon_rows, dt))
     arefs.append(jnp.zeros(lay.ncon_rows, dt))
     poss.append(jnp.zeros(lay.ncon_rows, dt))
@@ -309,7 +381,7 @@ def make_constraint(m: Model, d: Data) -> Data:
     actives.append(jnp.zeros(lay.ncon_rows, bool))
 
   return d.replace(
-      efc_J=jnp.concatenate(Js, 0), efc_D=jnp.concatenate(Ds),
+      con_Jbase=con_Jbase, efc_D=jnp.concatenate(Ds),
       efc_aref=jnp.concatenate(arefs), efc_pos=jnp.concatenate(poss),
       efc_margin=jnp.concatenate(margins),
       efc_active=jnp.concatenate(actives))

@@ -49,21 +49,37 @@ def forward(m: Model, d: Data) -> Data:
 
 def _integrate_pos(m: Model, qpos: jax.Array, qvel: jax.Array,
                    h) -> jax.Array:
-  """mj_integratePos: joint-type-aware position integration."""
-  out = qpos
+  """mj_integratePos: joint-type-aware position integration.
+
+  Scalar joints integrate in ONE masked gather (static qpos->qvel index
+  map) instead of a per-joint .at[] chain; only free/ball joints (quat
+  exponential) are handled per joint (the models have exactly one)."""
+  bad = set(int(t) for t in m.jnt_type) - {
+      int(JointType.FREE), int(JointType.HINGE), int(JointType.SLIDE)}
+  if bad:
+    raise NotImplementedError(f"joint types {bad}")
+
+  # static maps, built once per trace
+  vmap_idx = np.zeros(m.nq, np.int32)
+  scalar_mask = np.zeros(m.nq, bool)
   for j in range(m.njnt):
     jt = int(m.jnt_type[j])
     qadr, vadr = int(m.jnt_qposadr[j]), int(m.jnt_dofadr[j])
-    if jt == JointType.FREE:
-      pos = qpos[qadr:qadr + 3] + h * qvel[vadr:vadr + 3]
+    if jt in (JointType.HINGE, JointType.SLIDE):
+      vmap_idx[qadr] = vadr
+      scalar_mask[qadr] = True
+    else:  # FREE: translational part integrates linearly too
+      vmap_idx[qadr:qadr + 3] = np.arange(vadr, vadr + 3)
+      scalar_mask[qadr:qadr + 3] = True
+
+  out = jnp.where(jnp.asarray(scalar_mask),
+                  qpos + h * qvel[jnp.asarray(vmap_idx)], qpos)
+  for j in range(m.njnt):
+    if int(m.jnt_type[j]) == JointType.FREE:
+      qadr, vadr = int(m.jnt_qposadr[j]), int(m.jnt_dofadr[j])
       quat = math.quat_integrate(qpos[qadr + 3:qadr + 7],
                                  qvel[vadr + 3:vadr + 6], h)
-      out = jax.lax.dynamic_update_slice(
-          out, jnp.concatenate([pos, quat]), (qadr,))
-    elif jt in (JointType.HINGE, JointType.SLIDE):
-      out = out.at[qadr].set(qpos[qadr] + h * qvel[vadr])
-    else:
-      raise NotImplementedError(f"joint type {jt}")
+      out = jax.lax.dynamic_update_slice(out, quat, (qadr + 3,))
   return out
 
 
@@ -79,10 +95,33 @@ def euler(m: Model, d: Data) -> Data:
   eulerdamp = not (m.opt.disableflags & DisableBit.EULERDAMP)
   if eulerdamp and np.any(m.dof_damping > 0):
     # implicit damping: (M + h*diag(B)) qacc' = total force
-    MhB = d.qM + h * jnp.diag(jnp.asarray(m.dof_damping, dt))
-    L = jax.scipy.linalg.cholesky(MhB, lower=True)
     qfrc = d.qfrc_smooth + d.qfrc_constraint
-    qacc = jax.scipy.linalg.cho_solve((L, True), qfrc[:, None])[:, 0]
+    if dt == jnp.float32:
+      # M^-1-preconditioned CG on the SPD system: converges to f32
+      # roundoff in a handful of matvecs, avoiding a second (costly)
+      # batched factorization per substep. f64 (oracle tests) keeps the
+      # exact solve below.
+      hb = h * jnp.asarray(m.dof_damping, dt)
+      mhb = lambda x: d.qM @ x + hb * x
+      x = d.qMinv @ qfrc
+      r = qfrc - mhb(x)
+      z = d.qMinv @ r
+      p = z
+      rz = r @ z
+      for _ in range(6):
+        Ap = mhb(p)
+        alpha = rz / jnp.maximum(p @ Ap, 1e-30)
+        x = x + alpha * p
+        r = r - alpha * Ap
+        z = d.qMinv @ r
+        rz_new = r @ z
+        p = z + (rz_new / jnp.maximum(rz, 1e-30)) * p
+        rz = rz_new
+      qacc = x
+    else:
+      from brax_rodent_run_tpu.ops.cholesky import spd_inverse
+      MhB = d.qM + h * jnp.diag(jnp.asarray(m.dof_damping, dt))
+      qacc = spd_inverse(MhB) @ qfrc
 
   qvel = d.qvel + h * qacc
   qpos = _integrate_pos(m, d.qpos, qvel, h)

@@ -149,32 +149,46 @@ def com_pos(m: Model, d: Data) -> Data:
       axis=-1,
   )
 
-  # cdof for each dof, expressed at the root subtree com
+  # cdof for each dof, expressed at the root subtree com.
+  # Vectorized over joints: hinge/slide dofs come from one batched
+  # cross-product + scatter (74 sequential .at updates otherwise dominate
+  # this stage); only free-joint blocks (1 per model) stay per-joint.
   cdof = jnp.zeros((m.nv, 6), dt)
+  hs = [j for j in range(m.njnt)
+        if int(m.jnt_type[j]) in (JointType.HINGE, JointType.SLIDE)]
+  other = [j for j in range(m.njnt)
+           if int(m.jnt_type[j]) not in
+           (JointType.HINGE, JointType.SLIDE, JointType.FREE)]
+  if other:
+    raise NotImplementedError(
+        f"joint types {[int(m.jnt_type[j]) for j in other]}")
+  if hs:
+    jidx = np.asarray(hs, np.int32)
+    vadrs = m.jnt_dofadr[jidx]
+    bodies = m.body_rootid[m.jnt_bodyid[jidx]]
+    is_hinge = (m.jnt_type[jidx] == JointType.HINGE)[:, None]
+    ax = d.xaxis[jidx]                                    # (J, 3)
+    o = subtree_com[bodies]                               # (J, 3)
+    lin_h = jnp.cross(ax, o - d.xanchor[jidx])
+    ang = jnp.where(jnp.asarray(is_hinge), ax, 0.0)
+    lin = jnp.where(jnp.asarray(is_hinge), lin_h, ax)
+    cdof = cdof.at[jnp.asarray(vadrs)].set(
+        jnp.concatenate([ang, lin], axis=1))
   for j in range(m.njnt):
-    jtype = int(m.jnt_type[j])
+    if int(m.jnt_type[j]) != JointType.FREE:
+      continue
     vadr = int(m.jnt_dofadr[j])
     b = int(m.jnt_bodyid[j])
     o = subtree_com[m.body_rootid[b]]
-    if jtype == JointType.FREE:
-      # translation dofs: world axes
-      eye = jnp.eye(3, dtype=dt)
-      trans = jnp.concatenate([jnp.zeros((3, 3), dt), eye], axis=1)
-      # rotation dofs: body-frame axes (columns of xmat), anchored at xpos
-      axes = d.xmat[b].T                                  # rows = body axes
-      lin = jnp.cross(axes, (o - d.xpos[b])[None])
-      rot = jnp.concatenate([axes, lin], axis=1)
-      cdof = jax.lax.dynamic_update_slice(
-          cdof, jnp.concatenate([trans, rot], axis=0), (vadr, 0))
-    elif jtype == JointType.HINGE:
-      ax = d.xaxis[j]
-      lin = jnp.cross(ax, o - d.xanchor[j])
-      cdof = cdof.at[vadr].set(jnp.concatenate([ax, lin]))
-    elif jtype == JointType.SLIDE:
-      cdof = cdof.at[vadr].set(
-          jnp.concatenate([jnp.zeros(3, dt), d.xaxis[j]]))
-    else:
-      raise NotImplementedError(f"joint type {jtype}")
+    # translation dofs: world axes
+    eye = jnp.eye(3, dtype=dt)
+    trans = jnp.concatenate([jnp.zeros((3, 3), dt), eye], axis=1)
+    # rotation dofs: body-frame axes (columns of xmat), anchored at xpos
+    axes = d.xmat[b].T                                    # rows = body axes
+    lin = jnp.cross(axes, (o - d.xpos[b])[None])
+    rot = jnp.concatenate([axes, lin], axis=1)
+    cdof = jax.lax.dynamic_update_slice(
+        cdof, jnp.concatenate([trans, rot], axis=0), (vadr, 0))
 
   return d.replace(subtree_com=subtree_com, cinert=cinert, cdof=cdof)
 
@@ -204,15 +218,19 @@ def crb(m: Model, d: Data, factor: bool = True) -> Data:
 
 
 def factor_m(m: Model, d: Data) -> Data:
-  return d.replace(qLD=jax.scipy.linalg.cholesky(d.qM, lower=True))
+  """Cache the explicit M^{-1} (Pallas fused factor+invert on TPU).
+
+  The CG preconditioner, qacc_smooth, and derived-constant computation
+  all consume M^{-1}·x; with the huge env batch and tiny nv, one fused
+  inversion + MXU matvecs beats repeated batched triangular solves
+  (XLA's are the hottest op in the substep otherwise)."""
+  from brax_rodent_run_tpu.ops.cholesky import spd_inverse
+  return d.replace(qMinv=spd_inverse(d.qM))
 
 
 def solve_m(m: Model, d: Data, x: jax.Array) -> jax.Array:
-  """M^{-1} x via the cached Cholesky factor. x: (..., nv) or (nv,)."""
-  vec = x.ndim == 1
-  rhs = x[..., None] if vec else x.T
-  sol = jax.scipy.linalg.cho_solve((d.qLD, True), rhs)
-  return sol[..., 0] if vec else sol.T
+  """M^{-1} x via the cached inverse. x: (..., nv) or (nv,)."""
+  return x @ d.qMinv.T if x.ndim > 1 else d.qMinv @ x
 
 
 # ---------------------------------------------------------------------------

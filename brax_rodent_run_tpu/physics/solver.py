@@ -21,10 +21,14 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import functools
+
 import jax
 import jax.numpy as jnp
 
 from brax_rodent_run_tpu.physics import smooth
+from brax_rodent_run_tpu.physics.constraint import (
+    dense_efc_J, efc_layout, efc_matvec, efc_rmatvec)
 from brax_rodent_run_tpu.physics.types import Data, Model, SolverType
 
 
@@ -40,106 +44,239 @@ class _Ctx(NamedTuple):
   done: jax.Array     # () bool
 
 
-def _cost(m: Model, d: Data, x, jar):
-  dterm = jnp.where(jar < 0, d.efc_D, 0.0)
-  dx = x - d.qacc_smooth
-  gauss = 0.5 * dx @ (d.qM @ dx)
-  return gauss + 0.5 * jnp.sum(dterm * jar * jar), dterm
 
 
-def _grad(m: Model, d: Data, x, jar, dterm):
-  return d.qM @ (x - d.qacc_smooth) + d.efc_J.T @ (dterm * jar)
 
 
-def _linesearch(m: Model, d: Data, x, jar, p):
-  """Exact line search on the convex piecewise quadratic along p.
-
-  phi'(alpha) is piecewise linear & nondecreasing; Newton iterations on it
-  converge monotonically — run ls_iterations of them, branch-free.
-  """
-  Jp = d.efc_J @ p                       # (nefc,)
-  pMp = p @ (d.qM @ p)
-  pMdx = p @ (d.qM @ (x - d.qacc_smooth))
-
-  def dphi(alpha):
-    j = jar + alpha * Jp
-    dterm = jnp.where(j < 0, d.efc_D, 0.0)
-    g = pMdx + alpha * pMp + jnp.sum(dterm * j * Jp)
-    h = pMp + jnp.sum(dterm * Jp * Jp)
-    return g, h
-
-  g0, h0 = dphi(0.0)
-  alpha = -g0 / jnp.maximum(h0, 1e-15)
-
-  def body(_, alpha):
-    g, h = dphi(alpha)
-    return alpha - g / jnp.maximum(h, 1e-15)
-
-  alpha = jax.lax.fori_loop(0, max(m.opt.ls_iterations - 1, 0), body, alpha)
-  return alpha, Jp
 
 
-def _solve_iters(m: Model, d: Data, improvement_scale, newton: bool) -> Data:
-  nefc = d.efc_J.shape[0]
+def _cg_core(m: Model, con_Jbase, qM, qMinv, efc_D, efc_aref,
+             qacc_smooth):
+  """Unbatched CG solve over the primal problem; pure function of the
+  arrays the solve consumes (the Pallas kernel mirrors this exactly)."""
 
+  def matvec(x):
+    return efc_matvec(m, con_Jbase, x)
+
+  def rmatvec(f):
+    return efc_rmatvec(m, con_Jbase, f)
+
+  def cost(x, jar):
+    dterm = jnp.where(jar < 0, efc_D, 0.0)
+    dx = x - qacc_smooth
+    gauss = 0.5 * dx @ (qM @ dx)
+    return gauss + 0.5 * jnp.sum(dterm * jar * jar), dterm
+
+  def grad_fn(x, jar, dterm):
+    return qM @ (x - qacc_smooth) + rmatvec(dterm * jar)
+
+  def linesearch(x, jar, p):
+    Jp = matvec(p)
+    pMp = p @ (qM @ p)
+    pMdx = p @ (qM @ (x - qacc_smooth))
+
+    def dphi(alpha):
+      j = jar + alpha * Jp
+      dterm = jnp.where(j < 0, efc_D, 0.0)
+      g = pMdx + alpha * pMp + jnp.sum(dterm * j * Jp)
+      h = pMp + jnp.sum(dterm * Jp * Jp)
+      return g, h
+
+    g0, h0 = dphi(0.0)
+    alpha = -g0 / jnp.maximum(h0, 1e-15)
+
+    def body(_, alpha):
+      g, h = dphi(alpha)
+      return alpha - g / jnp.maximum(h, 1e-15)
+
+    n_ls = max(m.opt.ls_iterations - 1, 0)
+    if n_ls <= 16:
+      for i in range(n_ls):
+        alpha = body(i, alpha)
+    else:
+      alpha = jax.lax.fori_loop(0, n_ls, body, alpha)
+    return alpha, Jp
+
+  x0 = qacc_smooth
+  jar0 = matvec(x0) - efc_aref
+  cost0, dterm0 = cost(x0, jar0)
+  grad0 = grad_fn(x0, jar0, dterm0)
+  Mgrad0 = qMinv @ grad0
+  ctx = _Ctx(x=x0, jar=jar0, grad=grad0, Mgrad=Mgrad0, search=-Mgrad0,
+             cost=cost0, prev_cost=jnp.inf,
+             it=jnp.zeros((), jnp.int32), done=jnp.zeros((), bool))
+
+  tol = m.opt.tolerance * float(max(m.nv, 1))
+
+  def cond(c: _Ctx):
+    return (c.it < m.opt.iterations) & ~c.done
+
+  def body(c: _Ctx):
+    alpha, Jp = linesearch(c.x, c.jar, c.search)
+    x = c.x + alpha * c.search
+    jar = c.jar + alpha * Jp
+    cst, dterm = cost(x, jar)
+    grad = grad_fn(x, jar, dterm)
+    Mgrad = qMinv @ grad
+    # Polak-Ribiere+ with M-inner products
+    num = grad @ Mgrad - c.grad @ Mgrad
+    den = jnp.maximum(c.grad @ c.Mgrad, 1e-15)
+    beta = jnp.maximum(0.0, num / den)
+    search = -Mgrad + beta * c.search
+    improvement = c.cost - cst
+    done = improvement < tol
+    return _Ctx(x=x, jar=jar, grad=grad, Mgrad=Mgrad, search=search,
+                cost=cst, prev_cost=c.cost, it=c.it + 1, done=done)
+
+  if m.opt.iterations <= 16:
+    # unroll with done-masking: identical semantics to the while_loop,
+    # but XLA can fuse/overlap instead of a serial loop per trip
+    out = ctx
+    for _ in range(m.opt.iterations):
+      new = body(out)
+      keep = out.done
+      out = jax.tree_util.tree_map(
+          lambda a, b: jnp.where(keep, a, b), out, new)
+  else:
+    out = jax.lax.while_loop(cond, body, ctx)
+
+  dterm = jnp.where(out.jar < 0, efc_D, 0.0)
+  efc_force = -dterm * out.jar
+  qfrc_constraint = rmatvec(efc_force)
+  return out.x, efc_force, qfrc_constraint, out.it
+
+
+@functools.lru_cache(maxsize=32)
+def _cg_entry(m: Model):
+  """custom-vmap CG entry: per-env XLA core unbatched; the fused Pallas
+  kernel when vmapped over the env batch on TPU f32."""
+
+  @jax.custom_batching.custom_vmap
+  def cg(con_Jbase, qM, qMinv, efc_D, efc_aref, qacc_smooth):
+    return _cg_core(m, con_Jbase, qM, qMinv, efc_D, efc_aref,
+                    qacc_smooth)[:3]
+
+  @cg.def_vmap
+  def _cg_vmap(axis_size, in_batched, *args):
+    del axis_size
+    from brax_rodent_run_tpu.ops import cg as cg_ops
+    use_kernel = (cg_ops.FORCE_INTERPRET
+                  or (jax.default_backend() == "tpu"
+                      and args[1].dtype == jnp.float32
+                      and m.opt.iterations <= 16))
+    if use_kernel and all(in_batched) and args[1].ndim == 3:
+      out = cg_ops.cg_solve_batched(m, *args)
+    else:
+      out = jax.vmap(lambda *a: _cg_core(m, *a)[:3])(*args)
+    return out, (True, True, True)
+
+  return cg
+
+
+def _newton_iters(m: Model, d: Data, improvement_scale) -> Data:
   x0 = d.qacc_smooth
-  jar0 = d.efc_J @ x0 - d.efc_aref
-  cost0, dterm0 = _cost(m, d, x0, jar0)
-  grad0 = _grad(m, d, x0, jar0, dterm0)
+  jar0 = efc_matvec(m, d.con_Jbase, x0) - d.efc_aref
+  cost0, dterm0 = _newton_cost(m, d, x0, jar0)
+  grad0 = _newton_grad(m, d, x0, jar0, dterm0)
+
+  J_dense = dense_efc_J(m, d)
 
   def precond(grad, dterm):
-    if newton:
-      JDJ = (d.efc_J * dterm[:, None]).T @ d.efc_J
-      H = d.qM + JDJ
-      L = jax.scipy.linalg.cholesky(H, lower=True)
-      return jax.scipy.linalg.cho_solve((L, True), grad[:, None])[:, 0]
-    return smooth.solve_m(m, d, grad)
+    from brax_rodent_run_tpu.ops.cholesky import spd_inverse
+    JDJ = (J_dense * dterm[:, None]).T @ J_dense
+    H = d.qM + JDJ
+    return spd_inverse(H) @ grad
+
+  def cost(x, jar):
+    return _newton_cost(m, d, x, jar)
+
+  def linesearch(x, jar, p):
+    Jp = efc_matvec(m, d.con_Jbase, p)
+    pMp = p @ (d.qM @ p)
+    pMdx = p @ (d.qM @ (x - d.qacc_smooth))
+
+    def dphi(alpha):
+      j = jar + alpha * Jp
+      dterm = jnp.where(j < 0, d.efc_D, 0.0)
+      g = pMdx + alpha * pMp + jnp.sum(dterm * j * Jp)
+      h = pMp + jnp.sum(dterm * Jp * Jp)
+      return g, h
+
+    g0, h0 = dphi(0.0)
+    alpha = -g0 / jnp.maximum(h0, 1e-15)
+    n_ls = max(m.opt.ls_iterations - 1, 0)
+
+    def body(_, alpha):
+      g, h = dphi(alpha)
+      return alpha - g / jnp.maximum(h, 1e-15)
+
+    if n_ls <= 16:
+      for i in range(n_ls):
+        alpha = body(i, alpha)
+    else:
+      alpha = jax.lax.fori_loop(0, n_ls, body, alpha)
+    return alpha, Jp
 
   Mgrad0 = precond(grad0, dterm0)
   ctx = _Ctx(x=x0, jar=jar0, grad=grad0, Mgrad=Mgrad0, search=-Mgrad0,
              cost=cost0, prev_cost=jnp.inf,
              it=jnp.zeros((), jnp.int32), done=jnp.zeros((), bool))
-
   tol = m.opt.tolerance * improvement_scale
 
   def cond(c: _Ctx):
     return (c.it < m.opt.iterations) & ~c.done
 
   def body(c: _Ctx):
-    alpha, Jp = _linesearch(m, d, c.x, c.jar, c.search)
+    alpha, Jp = linesearch(c.x, c.jar, c.search)
     x = c.x + alpha * c.search
     jar = c.jar + alpha * Jp
-    cost, dterm = _cost(m, d, x, jar)
-    grad = _grad(m, d, x, jar, dterm)
+    cst, dterm = cost(x, jar)
+    grad = _newton_grad(m, d, x, jar, dterm)
     Mgrad = precond(grad, dterm)
-    if newton:
-      search = -Mgrad
-    else:
-      # Polak-Ribiere+ with M-inner products
-      num = grad @ Mgrad - c.grad @ Mgrad
-      den = jnp.maximum(c.grad @ c.Mgrad, 1e-15)
-      beta = jnp.maximum(0.0, num / den)
-      search = -Mgrad + beta * c.search
-    improvement = c.cost - cost
+    search = -Mgrad
+    improvement = c.cost - cst
     done = improvement < tol
     return _Ctx(x=x, jar=jar, grad=grad, Mgrad=Mgrad, search=search,
-                cost=cost, prev_cost=c.cost, it=c.it + 1, done=done)
+                cost=cst, prev_cost=c.cost, it=c.it + 1, done=done)
 
-  out = jax.lax.while_loop(cond, body, ctx)
+  if m.opt.iterations <= 16:
+    out = ctx
+    for _ in range(m.opt.iterations):
+      new = body(out)
+      keep = out.done
+      out = jax.tree_util.tree_map(
+          lambda a, b: jnp.where(keep, a, b), out, new)
+  else:
+    out = jax.lax.while_loop(cond, body, ctx)
 
   dterm = jnp.where(out.jar < 0, d.efc_D, 0.0)
   efc_force = -dterm * out.jar
-  qfrc_constraint = d.efc_J.T @ efc_force
+  qfrc_constraint = efc_rmatvec(m, d.con_Jbase, efc_force)
   return d.replace(qacc=out.x, efc_force=efc_force,
                    qfrc_constraint=qfrc_constraint, solver_niter=out.it)
 
 
+def _newton_cost(m: Model, d: Data, x, jar):
+  dterm = jnp.where(jar < 0, d.efc_D, 0.0)
+  dx = x - d.qacc_smooth
+  gauss = 0.5 * dx @ (d.qM @ dx)
+  return gauss + 0.5 * jnp.sum(dterm * jar * jar), dterm
+
+
+def _newton_grad(m: Model, d: Data, x, jar, dterm):
+  return d.qM @ (x - d.qacc_smooth) + efc_rmatvec(m, d.con_Jbase,
+                                                  dterm * jar)
+
+
 def solve(m: Model, d: Data) -> Data:
   """Dispatch on m.opt.solver; no-constraint models shortcut to smooth."""
-  if d.efc_J.shape[0] == 0:
+  if efc_layout(m).nefc == 0:
     return d.replace(qacc=d.qacc_smooth,
                      qfrc_constraint=jnp.zeros(m.nv, d.qpos.dtype))
-  # improvement scale: MuJoCo uses meaninertia * max(1, nv)
-  scale = float(max(m.nv, 1))
-  newton = m.opt.solver == SolverType.NEWTON
-  return _solve_iters(m, d, scale, newton)
+  if m.opt.solver == SolverType.NEWTON:
+    return _newton_iters(m, d, float(max(m.nv, 1)))
+  qacc, efc_force, qfrc = _cg_entry(m)(
+      d.con_Jbase, d.qM, d.qMinv, d.efc_D, d.efc_aref, d.qacc_smooth)
+  return d.replace(qacc=qacc, efc_force=efc_force,
+                   qfrc_constraint=qfrc,
+                   solver_niter=jnp.asarray(m.opt.iterations, jnp.int32))

@@ -368,7 +368,7 @@ class Data:
 
   # mass matrix
   qM: jax.Array            # (nv, nv) dense (jacobian=0, Rodent_Env_Brax.py:49)
-  qLD: jax.Array           # (nv, nv) cholesky factor (lower)
+  qMinv: jax.Array         # (nv, nv) explicit inverse (factor_m)
 
   # velocity products
   cvel: jax.Array          # (nbody, 6)
@@ -392,8 +392,14 @@ class Data:
   # contacts (fixed-size, masked by dist < includemargin)
   contact: Contact
 
-  # constraint rows (fixed-size dense)
-  efc_J: jax.Array         # (nefc, nv)
+  # constraint rows (fixed-size). The Jacobian is stored STRUCTURED, not
+  # dense: joint-limit rows are static +-1 columns (compile-time), tendon
+  # rows reuse ten_J, and each contact point stores 3 base rows
+  # [normal, tangent1, tangent2] from which the pyramid rows
+  # n +- mu*t are derived on the fly (constraint.efc_matvec /
+  # efc_rmatvec). This halves the HBM traffic of the CG solve, the
+  # hottest part of the substep.
+  con_Jbase: jax.Array     # (ncon, 3, nv)
   efc_D: jax.Array         # (nefc,)
   efc_aref: jax.Array      # (nefc,)
   efc_pos: jax.Array       # (nefc,)
@@ -433,7 +439,7 @@ def make_data(m: Model, dtype=None) -> Data:
       subtree_com=z(m.nbody, 3), cinert=z(m.nbody, 10), cdof=z(m.nv, 6),
       ten_length=z(m.ntendon), ten_velocity=z(m.ntendon),
       ten_J=z(m.ntendon, m.nv),
-      qM=z(m.nv, m.nv), qLD=z(m.nv, m.nv),
+      qM=z(m.nv, m.nv), qMinv=z(m.nv, m.nv),
       cvel=z(m.nbody, 6), cdof_dot=z(m.nv, 6),
       qfrc_bias=z(m.nv), qfrc_passive=z(m.nv),
       qfrc_spring=z(m.nv), qfrc_damper=z(m.nv),
@@ -446,7 +452,7 @@ def make_data(m: Model, dtype=None) -> Data:
                       pos=z(ncon, 3),
                       frame=jnp.broadcast_to(jnp.eye(3, dtype=dtype),
                                              (ncon, 3, 3))),
-      efc_J=z(nefc, m.nv), efc_D=z(nefc), efc_aref=z(nefc),
+      con_Jbase=z(ncon, 3, m.nv), efc_D=z(nefc), efc_aref=z(nefc),
       efc_pos=z(nefc), efc_margin=z(nefc),
       efc_active=jnp.zeros((nefc,), bool), efc_force=z(nefc),
       qfrc_constraint=z(m.nv),

@@ -89,6 +89,9 @@ def train(
     mesh: Optional[Mesh] = None,
     deterministic_eval: bool = False,
     restore_params: Optional[Tuple] = None,
+    checkpoint_path: Optional[str] = None,
+    restore_checkpoint_path: Optional[str] = None,
+    profile_dir: Optional[str] = None,
 ):
   """Train PPO on ``environment``; see module docstring for the contract."""
   if mesh is None:
@@ -238,6 +241,36 @@ def train(
   reset_keys = jax.random.split(env_key, num_envs)
   env_state = jax.jit(env.reset, out_shardings=env_sharding)(reset_keys)
 
+  # ---- full train-state resume (params + optimizer + normalizer + env
+  # state + rng + step — the gap SURVEY.md §5 "Checkpoint / resume" flags:
+  # the reference saves eval params but cannot resume)
+  start_epoch = 0
+  if restore_checkpoint_path:
+    from brax_rodent_run_tpu.io import checkpoint as _ckpt
+    blob = _ckpt.load_params(restore_checkpoint_path)
+    ts = _strip_weak(blob["training_state"])
+    saved_env_state = blob.get("env_state")
+    if saved_env_state is not None:
+      saved_envs = jax.tree_util.tree_leaves(saved_env_state)[0].shape[0]
+      if saved_envs == num_envs:
+        env_state = jax.device_put(saved_env_state, env_sharding)
+      else:
+        print(f"[ppo] checkpoint has {saved_envs} envs, run has "
+              f"{num_envs}; envs re-reset")
+    epoch_key = jnp.asarray(blob.get("epoch_key", epoch_key))
+    start_epoch = int(blob.get("epoch", 0))
+
+  def save_checkpoint(epoch, ts, env_state):
+    if not checkpoint_path or jax.process_index() != 0:
+      return
+    from brax_rodent_run_tpu.io import checkpoint as _ckpt
+    _ckpt.save_params(checkpoint_path, {
+        "training_state": jax.device_get(ts),
+        "env_state": jax.device_get(env_state),
+        "epoch_key": jax.device_get(epoch_key),
+        "epoch": epoch + 1,
+    })
+
   evaluator = acting.Evaluator(
       wrappers.EpisodeWrapper(eval_env or environment, episode_length,
                               action_repeat),
@@ -256,13 +289,19 @@ def train(
     all_metrics = evaluator.run_evaluation(params_tuple(ts))
     progress_fn(0, all_metrics)
 
-  for epoch in range(num_evals_after_init):
+  for epoch in range(start_epoch, num_evals_after_init):
     t0 = time.perf_counter()
-    epoch_key = jax.random.fold_in(epoch_key, epoch)
-    ts, env_state, train_metrics = training_epoch(ts, env_state, epoch_key)
+    if profile_dir and epoch == start_epoch + 1:
+      jax.profiler.start_trace(profile_dir)
+    key_for_epoch = jax.random.fold_in(epoch_key, epoch)
+    ts, env_state, train_metrics = training_epoch(ts, env_state,
+                                                  key_for_epoch)
     train_metrics = jax.device_get(train_metrics)
+    if profile_dir and epoch == start_epoch + 1:
+      jax.profiler.stop_trace()
     epoch_dt = time.perf_counter() - t0
     current_step = int(jax.device_get(ts.env_steps))
+    save_checkpoint(epoch, ts, env_state)
 
     sps = (num_training_steps_per_epoch * env_step_per_training_step
            / epoch_dt)

@@ -14,7 +14,7 @@ import jax.numpy as jnp
 from tests.conftest import model_path
 from brax_rodent_run_tpu.mjcf.from_mj import from_mj_model
 from brax_rodent_run_tpu.physics import forward
-from brax_rodent_run_tpu.physics.constraint import efc_layout
+from brax_rodent_run_tpu.physics.constraint import dense_efc_J, efc_layout
 from brax_rodent_run_tpu.physics.types import make_data
 
 MODELS = ["humanoid.xml", "rodent_new.xml"]
@@ -115,7 +115,7 @@ def test_efc_rows(name):
     if not mjd.nefc:
       continue
     Jmj = mjd.efc_J.reshape(mjd.nefc, mj_model.nv)
-    ours_J = np.asarray(d.efc_J)
+    ours_J = np.asarray(dense_efc_J(m, d))
     for i, r in _match_rows(mj_model, mjd, m):
       np.testing.assert_allclose(ours_J[r], Jmj[i], atol=1e-8,
                                  err_msg=f"{name} row {i}->{r} J")

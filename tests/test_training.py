@@ -8,6 +8,7 @@ exercises the real physics path end to end.
 """
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -233,3 +234,48 @@ def test_ppo_humanoid_smoke():
   assert np.isfinite(metrics["eval/episode_reward"])
   leaves = jax.tree_util.tree_leaves((params[1], params[2]))
   assert all(np.all(np.isfinite(np.asarray(l))) for l in leaves)
+
+
+def test_full_train_state_resume(tmp_path):
+  """Straight-through training == save-at-epoch-1-then-resume training:
+  identical final params and env_steps (SURVEY.md §5: the reference cannot
+  resume; we must, exactly)."""
+  env = PointMass()
+  kwargs = dict(
+      environment=env, episode_length=8, num_envs=8, num_eval_envs=8,
+      learning_rate=1e-3, unroll_length=4, batch_size=8, num_minibatches=2,
+      num_updates_per_batch=1, normalize_observations=True, seed=3,
+      num_timesteps=4 * 8 * 2 * 4,   # 4 epochs with num_evals=5
+      num_evals=5,
+  )
+  ck = str(tmp_path / "train_state.pkl")
+
+  _, params_straight, _ = ppo.train(**kwargs)
+
+  # part 1: run and checkpoint every epoch, interrupt after epoch 2 by
+  # training a fresh run restored from the epoch-2 checkpoint
+  saved = {}
+  real_train = ppo.train
+
+  class _Stop(Exception):
+    pass
+
+  count = {"n": 0}
+
+  def stop_after_2(num_steps, metrics):
+    count["n"] += 1
+    if count["n"] >= 3:            # initial eval + 2 epochs
+      raise _Stop()
+
+  try:
+    real_train(**kwargs, checkpoint_path=ck, progress_fn=stop_after_2)
+  except _Stop:
+    pass
+  assert os.path.exists(ck)
+
+  _, params_resumed, _ = real_train(**kwargs, restore_checkpoint_path=ck)
+
+  for a, b in zip(jax.tree_util.tree_leaves(params_straight),
+                  jax.tree_util.tree_leaves(params_resumed)):
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               rtol=1e-6, atol=1e-7)

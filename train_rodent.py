@@ -193,9 +193,15 @@ def main(argv=None):
       policy_hidden_layer_sizes=tuple(cfg.ppo.policy_hidden),
       value_hidden_layer_sizes=tuple(cfg.ppo.value_hidden))
 
+  # resume_from: a full train-state file ("train_state.pkl", written every
+  # eval epoch) resumes exactly; anything else is a bare params triple
   restore = None
+  restore_ckpt = None
   if cfg.run.resume_from:
-    restore = ckpt.load_params(cfg.run.resume_from)
+    if os.path.basename(cfg.run.resume_from).startswith("train_state"):
+      restore_ckpt = cfg.run.resume_from
+    else:
+      restore = ckpt.load_params(cfg.run.resume_from)
 
   make_policy, params, metrics = ppo.train(
       environment=env,
@@ -222,6 +228,8 @@ def main(argv=None):
       policy_params_fn=policy_params_fn,
       mesh=mesh,
       restore_params=restore,
+      checkpoint_path=os.path.join(ckpt_dir, "train_state.pkl"),
+      restore_checkpoint_path=restore_ckpt,
   )
 
   if is_host0:
