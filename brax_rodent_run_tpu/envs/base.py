@@ -83,10 +83,15 @@ class Env(abc.ABC):
     return fwd.forward(self._model, d)
 
   def pipeline_step(self, data: Data, action: jax.Array) -> Data:
+    # sensordata is only observable at the control-step boundary, so the
+    # sensor stages run on the LAST substep only (identical sensordata:
+    # every substep's sensors read that substep's own forward products).
     data = data.replace(ctrl=jnp.asarray(action, self._dtype))
 
     def substep(d, _):
-      return fwd.step(self._model, d), ()
+      return fwd.step(self._model, d, sensors=False), ()
 
-    data, _ = jax.lax.scan(substep, data, (), length=self._n_frames)
-    return data
+    if self._n_frames > 1:
+      data, _ = jax.lax.scan(substep, data, (),
+                             length=self._n_frames - 1)
+    return fwd.step(self._model, data)

@@ -1,0 +1,1000 @@
+"""Full-dynamics fused Pallas TPU kernel (v2 of ops/fused.py).
+
+One kernel per 128-env lane block computes the ENTIRE physics substep
+downstream of forward kinematics and collision, VMEM-resident:
+
+  subtree CoM -> cinert/cdof (com_pos) -> CRB mass matrix -> Cholesky
+  factor + inverse -> com_vel (cvel/cdof_dot) -> RNE bias -> passive
+  spring/damper -> actuator transmission + activation + force ->
+  smooth acceleration -> constraint assembly -> primal CG solve ->
+  implicit joint-damping velocity update -> position/activation
+  integration
+
+i.e. everything v1 (ops/fused.py) fused PLUS the body/dof-space stages
+around it and the Euler integration. Per substep the only XLA stages
+left are kinematics and collision narrow-phase (plus sensors on the
+last substep of a control step). HBM traffic per env drops to the
+kinematics products (~6 KB) in and the new state + forward products
+out.
+
+Numerical semantics are the exact stage composition (_core below);
+equivalence is tested in interpret mode
+(tests/test_ops.py::test_fused_full_kernel_matches_core).
+
+Reference behavior contract: MJX forward + Euler semantics as exercised
+by Rodent_Env_Brax.py:42-57; stage formulas follow physics/smooth.py
+(mj_comPos/mj_comVel/mj_rne/mj_passive/mj_fwdActuation contracts).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from brax_rodent_run_tpu.ops import fused as fused_v1
+from brax_rodent_run_tpu.physics.constraint import efc_layout
+from brax_rodent_run_tpu.physics.tree import masks
+from brax_rodent_run_tpu.physics.types import (
+    BiasType, Data, DisableBit, DynType, GainType, JointType, Model,
+    SolverType, TrnType)
+
+_LANES = 128
+_MINIMP = 0.0001
+_MAXIMP = 0.9999
+_MINVAL = 1e-15
+
+FORCE_INTERPRET = False
+
+
+def _round_up(x, m):
+  return ((x + m - 1) // m) * m
+
+
+# ---------------------------------------------------------------------------
+# static tables (extends fused_v1.statics)
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass(frozen=True)
+class _Statics2:
+  v1: "fused_v1._Statics"
+  # body-space
+  SUB: np.ndarray        # (nbody, nbody) subtree mask
+  ROOT: np.ndarray       # (nbody, nbody) one-hot rootid
+  ANC: np.ndarray        # (nbody, np_) body_dof_ancestor padded
+  CDM: np.ndarray        # (np_, np_) cdof_dot mask
+  DOFSEL: np.ndarray     # (np_, nbody) one-hot dof->body
+  BTAB: np.ndarray       # (nbody, 8): mass, 1/submass, I0, I1, I2
+  # scalar-joint cdof
+  js: np.ndarray         # (Js,) scalar joint ids (hinge+slide)
+  PSC: np.ndarray        # (np_, Js) dof placement
+  OB: np.ndarray         # (Js, nbody) one-hot root body per joint
+  HSG: np.ndarray        # (Js, 1) is_hinge
+  # free joint (at most one; required <=1 by eligibility)
+  free_j: int            # joint id or -1
+  fvadr: int
+  fqadr: int
+  frootb: int
+  PFREE: np.ndarray      # (np_, 6)
+  # passive
+  DAMP: np.ndarray       # (np_, 1)
+  KSEL: np.ndarray       # (np_, nq) -stiff one-hot
+  KCONST: np.ndarray     # (np_, 1) +stiff*qpos_spring
+  # actuation
+  ATAB: np.ndarray       # (nu, 16)
+  GL: np.ndarray         # (nu, nq) gear*onehot qposadr
+  MOM: np.ndarray        # (nu, np_)
+  ACTSEL: np.ndarray     # (nu, na_p) one-hot actadr
+  CSEL: np.ndarray       # (na_p, nu) inverse map
+  ATAB2: np.ndarray      # (na_p, 8): invtau, is_filter, is_integrator
+  na_p: int
+  # integration
+  QVH: np.ndarray        # (nq, np_) h * scalar dof map
+  PQ: np.ndarray         # (nq, 4) quat row placement
+  QMASKC: np.ndarray     # (nq, 1) 1 at quat rows
+  gravity: tuple
+
+
+@functools.lru_cache(maxsize=16)
+def statics2(m: Model) -> _Statics2:
+  st = fused_v1.statics(m)
+  mk = masks(m)
+  nv, nq, nbody, nu, na = m.nv, m.nq, m.nbody, m.nu, m.na
+  np_ = _round_up(nv, 8)
+  h = float(m.opt.timestep)
+
+  def padc(x, cols):
+    out = np.zeros((x.shape[0], cols), np.float64)
+    out[:, :x.shape[1]] = x
+    return out
+
+  def padr(x, rows):
+    out = np.zeros((rows, x.shape[1]), np.float64)
+    out[:x.shape[0]] = x
+    return out
+
+  BTAB = np.zeros((nbody, 8))
+  BTAB[:, 0] = m.body_mass
+  BTAB[:, 1] = 1.0 / np.maximum(m.body_subtreemass, 1e-15)
+  BTAB[:, 2:5] = m.body_inertia
+
+  ROOT = np.zeros((nbody, nbody))
+  ROOT[np.arange(nbody), np.asarray(m.body_rootid)] = 1.0
+
+  js = np.asarray([j for j in range(m.njnt)
+                   if int(m.jnt_type[j]) in (JointType.HINGE,
+                                             JointType.SLIDE)], np.int64)
+  Js = max(len(js), 1)
+  PSC = np.zeros((np_, Js))
+  OB = np.zeros((Js, nbody))
+  HSG = np.zeros((Js, 1))
+  if len(js):
+    PSC[np.asarray(m.jnt_dofadr)[js], np.arange(len(js))] = 1.0
+    OB[np.arange(len(js)),
+       np.asarray(m.body_rootid)[np.asarray(m.jnt_bodyid)[js]]] = 1.0
+    HSG[:len(js), 0] = (np.asarray(m.jnt_type)[js] == JointType.HINGE)
+
+  free = [j for j in range(m.njnt)
+          if int(m.jnt_type[j]) == JointType.FREE]
+  free_j = free[0] if free else -1
+  fvadr = int(m.jnt_dofadr[free_j]) if free else 0
+  fqadr = int(m.jnt_qposadr[free_j]) if free else 0
+  frootb = int(m.body_rootid[m.jnt_bodyid[free_j]]) if free else 0
+  PFREE = np.zeros((np_, 6))
+  if free:
+    PFREE[fvadr:fvadr + 6, :] = np.eye(6)
+
+  # passive tables
+  DAMP = np.zeros((np_, 1))
+  KSEL = np.zeros((np_, nq))
+  KCONST = np.zeros((np_, 1))
+  if not (m.opt.disableflags & DisableBit.PASSIVE):
+    DAMP[:nv, 0] = m.dof_damping
+    for j in range(m.njnt):
+      stiff = float(m.jnt_stiffness[j])
+      if stiff == 0.0 or int(m.jnt_type[j]) == JointType.FREE:
+        continue
+      qadr, vadr = int(m.jnt_qposadr[j]), int(m.jnt_dofadr[j])
+      KSEL[vadr, qadr] = -stiff
+      KCONST[vadr, 0] = stiff * float(m.qpos_spring[qadr])
+
+  # actuation tables (scalar-joint transmission only; see eligible_full)
+  na_p = max(na, 1)
+  ATAB = np.zeros((max(nu, 1), 16))
+  GL = np.zeros((max(nu, 1), nq))
+  MOM = np.zeros((max(nu, 1), np_))
+  ACTSEL = np.zeros((max(nu, 1), na_p))
+  CSEL = np.zeros((na_p, max(nu, 1)))
+  ATAB2 = np.zeros((na_p, 8))
+  clampctrl = not (m.opt.disableflags & DisableBit.CLAMPCTRL)
+  for u in range(nu):
+    j = int(m.actuator_trnid[u, 0])
+    qadr, vadr = int(m.jnt_qposadr[j]), int(m.jnt_dofadr[j])
+    gear0 = float(m.actuator_gear[u, 0])
+    GL[u, qadr] = gear0
+    MOM[u, vadr] = gear0
+    cr = m.actuator_ctrlrange[u]
+    limited = bool(m.actuator_ctrllimited[u]) and clampctrl
+    ATAB[u, 0] = cr[0] if limited else -1e30
+    ATAB[u, 1] = cr[1] if limited else 1e30
+    gt = int(m.actuator_gaintype[u])
+    g = m.actuator_gainprm[u]
+    ATAB[u, 3] = g[0]
+    if gt == GainType.AFFINE:
+      ATAB[u, 4], ATAB[u, 5] = g[1], g[2]
+    bt = int(m.actuator_biastype[u])
+    b = m.actuator_biasprm[u]
+    if bt == BiasType.AFFINE:
+      ATAB[u, 6], ATAB[u, 7], ATAB[u, 8] = b[0], b[1], b[2]
+    fr = m.actuator_forcerange[u]
+    flimited = bool(m.actuator_forcelimited[u])
+    ATAB[u, 9] = fr[0] if flimited else -1e30
+    ATAB[u, 10] = fr[1] if flimited else 1e30
+    dyn = int(m.actuator_dyntype[u])
+    aadr = int(m.actuator_actadr[u])
+    if dyn == DynType.NONE:
+      ATAB[u, 14] = 1.0  # is_none: input = ctrl
+    else:
+      ACTSEL[u, aadr] = 1.0
+      CSEL[aadr, u] = 1.0
+      if dyn in (DynType.FILTER, DynType.FILTEREXACT):
+        ATAB2[aadr, 0] = 1.0 / max(float(m.actuator_dynprm[u, 0]), 1e-15)
+        ATAB2[aadr, 1] = 1.0
+      elif dyn == DynType.INTEGRATOR:
+        ATAB2[aadr, 2] = 1.0
+
+  # integration maps (forward._integrate_pos contract)
+  QVH = np.zeros((nq, np_))
+  QMASKC = np.zeros((nq, 1))
+  PQ = np.zeros((nq, 4))
+  for j in range(m.njnt):
+    jt = int(m.jnt_type[j])
+    qadr, vadr = int(m.jnt_qposadr[j]), int(m.jnt_dofadr[j])
+    if jt in (JointType.HINGE, JointType.SLIDE):
+      QVH[qadr, vadr] = h
+    elif jt == JointType.FREE:
+      QVH[[qadr, qadr + 1, qadr + 2], [vadr, vadr + 1, vadr + 2]] = h
+      QMASKC[qadr + 3:qadr + 7, 0] = 1.0
+      PQ[qadr + 3:qadr + 7] = np.eye(4)
+
+  return _Statics2(
+      v1=st,
+      SUB=np.asarray(mk.body_subtree, np.float64), ROOT=ROOT,
+      ANC=padc(np.asarray(mk.body_dof_ancestor, np.float64), np_),
+      CDM=padr(padc(np.asarray(mk.cdof_dot_mask, np.float64), np_), np_),
+      DOFSEL=padr(np.eye(nbody)[np.asarray(m.dof_bodyid)], np_),
+      BTAB=BTAB, js=js, PSC=PSC, OB=OB, HSG=HSG,
+      free_j=free_j, fvadr=fvadr, fqadr=fqadr, frootb=frootb, PFREE=PFREE,
+      DAMP=DAMP, KSEL=KSEL, KCONST=KCONST,
+      ATAB=ATAB, GL=GL, MOM=MOM, ACTSEL=ACTSEL, CSEL=CSEL, ATAB2=ATAB2,
+      na_p=na_p, QVH=QVH, PQ=PQ, QMASKC=QMASKC,
+      gravity=tuple(float(g) for g in np.asarray(m.opt.gravity)),
+  )
+
+
+def eligible_full(m: Model) -> bool:
+  """v2 envelope: v1 eligibility + scalar-joint-only actuators with
+  NONE/FILTER/INTEGRATOR dynamics, FIXED/AFFINE gain, NONE/AFFINE bias,
+  at most one free joint (no spring on it), actnum<=1, no gravcomp-style
+  extras, actuation enabled."""
+  if os.environ.get("BRR_NO_FUSED") or os.environ.get("BRR_NO_FUSED2"):
+    return False
+  if not fused_v1.eligible(m):
+    return False
+  if not m.nu or (m.opt.disableflags & DisableBit.ACTUATION):
+    return False
+  free = [j for j in range(m.njnt)
+          if int(m.jnt_type[j]) == JointType.FREE]
+  if len(free) > 1:
+    return False
+  for j in free:
+    if float(m.jnt_stiffness[j]) != 0.0:
+      return False
+  for u in range(m.nu):
+    if int(m.actuator_trntype[u]) != TrnType.JOINT:
+      return False
+    j = int(m.actuator_trnid[u, 0])
+    if int(m.jnt_type[j]) not in (JointType.HINGE, JointType.SLIDE):
+      return False
+    if int(m.actuator_dyntype[u]) not in (
+        DynType.NONE, DynType.FILTER, DynType.FILTEREXACT,
+        DynType.INTEGRATOR):
+      return False
+    if int(m.actuator_gaintype[u]) not in (GainType.FIXED, GainType.AFFINE):
+      return False
+    if int(m.actuator_biastype[u]) not in (BiasType.NONE, BiasType.AFFINE):
+      return False
+    if int(m.actuator_dyntype[u]) != DynType.NONE and (
+        int(m.actuator_actadr[u]) < 0 or int(m.actuator_actnum[u]) != 1):
+      return False
+  return True
+
+
+# ---------------------------------------------------------------------------
+# XLA core: exact stage composition (semantic definition of the kernel)
+# ---------------------------------------------------------------------------
+
+
+def _core(m: Model, qpos, qvel, act, ctrl, qfrc_applied,
+          xpos, xmat, xipos, ximat, xanchor, xaxis,
+          con_dist, con_pos, con_frame):
+  from brax_rodent_run_tpu.physics import constraint as constraint_mod
+  from brax_rodent_run_tpu.physics import forward as forward_mod
+  from brax_rodent_run_tpu.physics import smooth as smooth_mod
+  from brax_rodent_run_tpu.physics import solver as solver_mod
+  from brax_rodent_run_tpu.physics.types import make_data
+
+  d = make_data(m, dtype=qpos.dtype)
+  d = d.replace(qpos=qpos, qvel=qvel, act=act, ctrl=ctrl,
+                qfrc_applied=qfrc_applied,
+                xpos=xpos, xmat=xmat, xipos=xipos, ximat=ximat,
+                xanchor=xanchor, xaxis=xaxis,
+                contact=d.contact.replace(dist=con_dist, pos=con_pos,
+                                          frame=con_frame))
+  d = smooth_mod.com_pos(m, d)
+  d = smooth_mod.crb(m, d)
+  d = smooth_mod.transmission(m, d)
+  d = constraint_mod.make_constraint(m, d)
+  d = smooth_mod.com_vel(m, d)
+  d = smooth_mod.rne(m, d)
+  d = smooth_mod.passive(m, d)
+  d = smooth_mod.fwd_actuation(m, d)
+  d = smooth_mod.fwd_acceleration(m, d)
+  d = solver_mod.solve(m, d)
+  de = forward_mod.euler(m, d)
+  return (d.subtree_com, d.cinert, d.cdof, d.cvel, d.cdof_dot,
+          d.qfrc_bias, d.qfrc_spring, d.qfrc_damper, d.qfrc_passive,
+          d.actuator_length, d.actuator_velocity, d.actuator_force,
+          d.act_dot, d.qfrc_actuator, d.qfrc_smooth, d.qacc_smooth,
+          d.qacc, d.qfrc_constraint, d.efc_force,
+          de.qpos, de.qvel, de.act)
+
+
+# ---------------------------------------------------------------------------
+# Pallas kernel
+# ---------------------------------------------------------------------------
+
+
+def _cross(a, b):
+  """component-slice cross product: a, b are 3-lists of (rows, E)."""
+  return [a[1] * b[2] - a[2] * b[1],
+          a[2] * b[0] - a[0] * b[2],
+          a[0] * b[1] - a[1] * b[0]]
+
+
+@functools.lru_cache(maxsize=8)
+def _kernel(m: Model, interpret: bool = False):
+  from jax.experimental import pallas as pl
+  from jax.experimental.pallas import tpu as pltpu
+  from brax_rodent_run_tpu.ops.cholesky import (
+      _chol_inplace, _inv_from_chol_inplace)
+
+  st2 = statics2(m)
+  st = st2.v1
+  nv, nq, nbody = st.nv, st.nq, st.nbody
+  ncon, nlimit, ncr = st.ncon, st.nlimit, st.ncr
+  nc3 = 3 * ncon
+  np_ = _round_up(nv, 8)
+  nu, na_p = m.nu, st2.na_p
+  Js = st2.PSC.shape[1]
+  E = _LANES
+  iters = int(m.opt.iterations)
+  n_ls = max(int(m.opt.ls_iterations) - 1, 0)
+  tol = float(m.opt.tolerance) * float(max(nv, 1))
+  f32 = np.float32
+  H = float(st.h)
+  has_free = st2.free_j >= 0
+  has_act = m.na > 0
+  gx, gy, gz = st2.gravity
+
+  def padr(x, rows=None, cols=None):
+    out = np.zeros((rows or x.shape[0], cols or x.shape[1]), f32)
+    out[:x.shape[0], :x.shape[1]] = x
+    return out
+
+  # ---- consts (numpy; VMEM broadcast inputs)
+  DS = padr((st.dofsel @ st.subtree), rows=np_)
+  QMU = padr(st.qm_mask, rows=np_, cols=np_)
+  QML = padr(st.qm_mask.T * (1.0 - np.eye(nv)), rows=np_, cols=np_)
+  ARMAD = padr(np.diag(st.armature), rows=np_, cols=np_)
+  ARMAD[range(nv, np_), range(nv, np_)] = 1.0
+  JLIM = padr(st.J_lim, cols=np_)
+  QSEL = st.qsel_signed.astype(f32)
+  CMAT = st.C.astype(f32)
+  RID = st.rid.astype(f32)
+  def tab(*cols):
+    t = np.stack([c.astype(np.float64) for c in cols], axis=1)
+    out = np.zeros((t.shape[0], 16), f32)
+    out[:, :t.shape[1]] = t
+    return out
+
+  LTAB = tab(st.lim_sb, st.lim_k, st.lim_b, st.lim_margin, st.lim_margin,
+             st.lim_iw, st.lim_d0, st.lim_dmax, st.lim_width, st.lim_mid,
+             st.lim_pw)
+  CTAB = tab(np.zeros(ncr), st.con_k, st.con_b, st.con_margin,
+             st.con_incmargin, st.con_iw, st.con_d0, st.con_dmax,
+             st.con_width, st.con_mid, st.con_pw)
+  EXP3 = np.kron(np.eye(ncon), np.ones((3, 1))).astype(f32)
+  CM2R = padr(EXP3 @ st.cmask2, cols=np_)
+  CM1R = padr(EXP3 @ st.cmask1, cols=np_)
+  body1_zero = st.body1_zero
+  eulerdamp = st.eulerdamp
+  lay = efc_layout(m)
+  # contact-point root body one-hots (rel vectors computed in kernel)
+  CB2 = np.zeros((ncon, nbody), f32)
+  CB2[np.arange(ncon), np.asarray(m.body_rootid)[lay.con_body2]] = 1.0
+  CB1 = np.zeros((ncon, nbody), f32)
+  CB1[np.arange(ncon), np.asarray(m.body_rootid)[lay.con_body1]] = 1.0
+
+  HBD = padr((H * st.dof_damping)[:, None], rows=np_)
+  DAMP = st2.DAMP.astype(f32)
+  all_pw2 = bool(np.all(st.lim_pw == 2.0) and np.all(st.con_pw == 2.0))
+
+  consts = {
+      "DS": DS, "QMU": QMU, "QML": QML, "ARMAD": ARMAD, "JLIM": JLIM,
+      "QSEL": QSEL, "CMAT": CMAT, "RID": RID, "LTAB": LTAB, "CTAB": CTAB,
+      "HBD": HBD, "EXP3": EXP3, "CM2R": CM2R, "CM1R": CM1R,
+      "CB2": CB2, "CB1": CB1,
+      "SUB": st2.SUB.astype(f32), "ROOT": st2.ROOT.astype(f32),
+      "ANC": st2.ANC.astype(f32), "CDM": st2.CDM.astype(f32),
+      "DOFSEL": st2.DOFSEL.astype(f32), "BTAB": st2.BTAB.astype(f32),
+      "PSC": st2.PSC.astype(f32), "OB": st2.OB.astype(f32),
+      "HSG": st2.HSG.astype(f32), "PFREE": st2.PFREE.astype(f32),
+      "DAMP": DAMP, "KSEL": st2.KSEL.astype(f32),
+      "KCONST": st2.KCONST.astype(f32),
+      "ATAB": st2.ATAB.astype(f32), "GL": st2.GL.astype(f32),
+      "MOM": st2.MOM.astype(f32), "MOMT": st2.MOM.T.astype(f32).copy(),
+      "ACTSEL": st2.ACTSEL.astype(f32), "CSEL": st2.CSEL.astype(f32),
+      "ATAB2": st2.ATAB2.astype(f32),
+      "QVH": st2.QVH.astype(f32), "PQ": st2.PQ.astype(f32),
+      "QMASKC": st2.QMASKC.astype(f32),
+  }
+  if body1_zero:
+    del consts["CM1R"], consts["CB1"]
+  cnames = list(consts.keys())
+  cvals = [consts[k] for k in cnames]
+
+  n_in = 14  # dynamic inputs
+  out_rows = [3 * nbody, 10 * nbody, 6 * np_, 6 * nbody, 6 * np_,
+              np_, np_, np_, np_, nu, nu, nu, na_p, np_, np_, np_,
+              np_, np_, nlimit, ncr, nq, np_, na_p]
+
+  def kernel(*refs):
+    C = {k: r for k, r in zip(cnames, refs[:len(cnames)])}
+    (qpos_ref, qvel_ref, act_ref, ctrl_ref, qfa_ref,
+     xipos_ref, ximat_ref, axj_ref, anj_ref, xfree_ref,
+     cdist_ref, cpos_ref, frame_ref, dummy_ref) = \
+        refs[len(cnames):len(cnames) + n_in]
+    outs = refs[len(cnames) + n_in:len(cnames) + n_in + len(out_rows)]
+    (o_com, o_cin, o_cdof, o_cvel, o_cdofdot, o_bias, o_spring, o_damper,
+     o_passive, o_alen, o_avel, o_afrc, o_actdot, o_qfa, o_qfs, o_qaccs,
+     o_qacc, o_qfc, o_flim, o_fcon, o_qpos, o_qvel, o_act) = outs
+    s_a, s_l, s_x, s_jc = refs[len(cnames) + n_in + len(out_rows):]
+
+    def mxu(a, b):
+      return jax.lax.dot_general(a, b, (((1,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+
+    qpos = qpos_ref[:]
+    qvel = qvel_ref[:]
+    actv = act_ref[:]
+    ctrl = ctrl_ref[:]
+    qfa = qfa_ref[:]
+    BT = C["BTAB"][:]
+
+    # ================= com_pos =================
+    xip = [xipos_ref[c * nbody:(c + 1) * nbody] for c in range(3)]
+    R = [[ximat_ref[(3 * a + b) * nbody:(3 * a + b + 1) * nbody]
+          for b in range(3)] for a in range(3)]
+    mass = BT[:, 0:1]
+    moment = [mass * xip[c] for c in range(3)]
+    com = [mxu(C["SUB"][:], moment[c]) * BT[:, 1:2] for c in range(3)]
+    rootcom = [mxu(C["ROOT"][:], com[c]) for c in range(3)]
+    off = [xip[c] - rootcom[c] for c in range(3)]
+    dsq = off[0] * off[0] + off[1] * off[1] + off[2] * off[2]
+    Id = [BT[:, 2 + j:3 + j] for j in range(3)]
+
+    def iw(a, b):
+      return sum(Id[j] * R[a][j] * R[b][j] for j in range(3))
+
+    cin = [iw(0, 0) + mass * (dsq - off[0] * off[0]),
+           iw(1, 1) + mass * (dsq - off[1] * off[1]),
+           iw(2, 2) + mass * (dsq - off[2] * off[2]),
+           iw(0, 1) - mass * off[0] * off[1],
+           iw(0, 2) - mass * off[0] * off[2],
+           iw(1, 2) - mass * off[1] * off[2],
+           mass * off[0], mass * off[1], mass * off[2],
+           mass * jnp.ones_like(dsq)]
+
+    # ================= cdof =================
+    axj = [axj_ref[c * Js:(c + 1) * Js] for c in range(3)]
+    anj = [anj_ref[c * Js:(c + 1) * Js] for c in range(3)]
+    oj = [mxu(C["OB"][:], com[c]) for c in range(3)]
+    rel = [oj[c] - anj[c] for c in range(3)]
+    linh = _cross(axj, rel)
+    hs = C["HSG"][:]
+    angj = [hs * axj[c] for c in range(3)]
+    linj = [hs * linh[c] + (1.0 - hs) * axj[c] for c in range(3)]
+    cdof = [mxu(C["PSC"][:], angj[c]) for c in range(3)] + \
+           [mxu(C["PSC"][:], linj[c]) for c in range(3)]
+    if has_free:
+      xf = xfree_ref[:]
+      xpb = [xf[c:c + 1] for c in range(3)]
+      xm = [[xf[3 + 3 * a + b:4 + 3 * a + b] for b in range(3)]
+            for a in range(3)]
+      rb = st2.frootb
+      of = [com[c][rb:rb + 1] - xpb[c] for c in range(3)]
+      one = jnp.ones_like(xpb[0])
+      zero = jnp.zeros_like(xpb[0])
+      frows = []
+      for c in range(3):          # ang comps: trans rows 0, rot = axes
+        axesc = [xm[c][0], xm[c][1], xm[c][2]]   # axes_k comp c = xmat[c,k]
+        frows.append(jnp.concatenate([zero, zero, zero] + axesc, axis=0))
+      for c in range(3):          # lin comps
+        lrows = []
+        for k in range(3):
+          lrows.append(one if c == k else zero)
+        for k in range(3):
+          axk = [xm[0][k], xm[1][k], xm[2][k]]
+          lr = _cross(axk, of)
+          lrows.append(lr[c])
+        frows.append(jnp.concatenate(lrows, axis=0))
+      for c in range(6):
+        cdof[c] = cdof[c] + mxu(C["PFREE"][:], frows[c])
+    w = cdof[0:3]
+    v = cdof[3:6]
+
+    # ================= CRB mass matrix (v1 flow, cinert from VMEM) ====
+    DSv = C["DS"][:]
+    crbd = [mxu(DSv, cin[c]) for c in range(10)]
+    ixx, iyy, izz, ixy, ixz, iyz = crbd[0:6]
+    cmx, cmy, cmz, bmass = crbd[6], crbd[7], crbd[8], crbd[9]
+    F = [
+        ixx * w[0] + ixy * w[1] + ixz * w[2] + cmy * v[2] - cmz * v[1],
+        ixy * w[0] + iyy * w[1] + iyz * w[2] + cmz * v[0] - cmx * v[2],
+        ixz * w[0] + iyz * w[1] + izz * w[2] + cmx * v[1] - cmy * v[0],
+        bmass * v[0] - (cmy * w[2] - cmz * w[1]),
+        bmass * v[1] - (cmz * w[0] - cmx * w[2]),
+        bmass * v[2] - (cmx * w[1] - cmy * w[0]),
+    ]
+    up = cdof[0][:, None, :] * F[0][None, :, :]
+    lo = F[0][:, None, :] * cdof[0][None, :, :]
+    for k in range(1, 6):
+      up = up + cdof[k][:, None, :] * F[k][None, :, :]
+      lo = lo + F[k][:, None, :] * cdof[k][None, :, :]
+    qm = (up * C["QMU"][:][:, :, None]
+          + lo * C["QML"][:][:, :, None]
+          + C["ARMAD"][:][:, :, None])
+
+    def mmul0(mat, x):
+      return jnp.sum(mat * x[:, None, :], axis=0)
+
+    s_a[:] = qm
+    _chol_inplace(np_, np_, s_a, s_l)
+    _inv_from_chol_inplace(np_, s_l, s_a, s_x)
+    qminv = s_x[:]
+
+    # ================= com_vel / rne =================
+    scaled = [cdof[c] * qvel for c in range(6)]
+    cvel = [mxu(C["ANC"][:], scaled[c]) for c in range(6)]
+    vp = [mxu(C["CDM"][:], scaled[c]) for c in range(6)]
+    cd_ang = _cross(vp[0:3], cdof[0:3])
+    cd_lin0 = _cross(vp[0:3], cdof[3:6])
+    cd_lin1 = _cross(vp[3:6], cdof[0:3])
+    cdof_dot = cd_ang + [cd_lin0[c] + cd_lin1[c] for c in range(3)]
+
+    cacc0 = [0.0, 0.0, 0.0, -gx, -gy, -gz]
+    cacc = [cacc0[c] + mxu(C["ANC"][:], cdof_dot[c] * qvel)
+            for c in range(6)]
+
+    def inert_mul(mot):
+      """cinert (body rows) x motion (6 slices) -> force (6 slices)."""
+      mw, mv = mot[0:3], mot[3:6]
+      cm = cin[6:9]
+      tq = [cin[0] * mw[0] + cin[3] * mw[1] + cin[4] * mw[2],
+            cin[3] * mw[0] + cin[1] * mw[1] + cin[5] * mw[2],
+            cin[4] * mw[0] + cin[5] * mw[1] + cin[2] * mw[2]]
+      cxv = _cross(cm, mv)
+      cxw = _cross(cm, mw)
+      return [tq[c] + cxv[c] for c in range(3)] + \
+             [cin[9] * mv[c] - cxw[c] for c in range(3)]
+
+    Iv = inert_mul(cvel)
+    Ia = inert_mul(cacc)
+    # force_cross(cvel, Iv): ang = w x f_ang + v x f_lin ; lin = w x f_lin
+    fc_ang0 = _cross(cvel[0:3], Iv[0:3])
+    fc_ang1 = _cross(cvel[3:6], Iv[3:6])
+    fc_lin = _cross(cvel[0:3], Iv[3:6])
+    cfrc = [Ia[c] + fc_ang0[c] + fc_ang1[c] for c in range(3)] + \
+           [Ia[3 + c] + fc_lin[c] for c in range(3)]
+    tot = [mxu(C["SUB"][:], cfrc[c]) for c in range(6)]
+    qfrc_bias = sum(cdof[c] * mxu(C["DOFSEL"][:], tot[c])
+                    for c in range(6))
+
+    # ================= passive =================
+    qfrc_spring = mxu(C["KSEL"][:], qpos) + C["KCONST"][:]
+    qfrc_damper = -C["DAMP"][:] * qvel
+    qfrc_passive = qfrc_spring + qfrc_damper
+
+    # ================= transmission + actuation =================
+    AT = C["ATAB"][:]
+    alen = mxu(C["GL"][:], qpos)
+    avel = mxu(C["MOM"][:], qvel)
+    ctrl_cl = jnp.clip(ctrl, AT[:, 0:1], AT[:, 1:2])
+    if has_act:
+      AT2 = C["ATAB2"][:]
+      csel_ctrl = mxu(C["CSEL"][:], ctrl_cl)
+      act_dot = (AT2[:, 1:2] * (csel_ctrl - actv) * AT2[:, 0:1]
+                 + AT2[:, 2:3] * csel_ctrl)
+      act_in = mxu(C["ACTSEL"][:], actv)
+    else:
+      act_dot = jnp.zeros_like(actv)
+      act_in = jnp.zeros_like(ctrl_cl)
+    ainput = AT[:, 14:15] * ctrl_cl + (1.0 - AT[:, 14:15]) * act_in
+    gain = AT[:, 3:4] + AT[:, 4:5] * alen + AT[:, 5:6] * avel
+    bias = AT[:, 6:7] + AT[:, 7:8] * alen + AT[:, 8:9] * avel
+    force = jnp.clip(gain * ainput + bias, AT[:, 9:10], AT[:, 10:11])
+    qfrc_actuator = mxu(C["MOMT"][:], force)
+
+    qfs = qfrc_passive - qfrc_bias + qfrc_actuator + qfa
+    qacc_smooth = mmul0(qminv, qfs)
+
+    # ================= constraint rows (v1 flow) =================
+    JLIMv = C["JLIM"][:]
+    CMATv = C["CMAT"][:]
+    LT = C["LTAB"][:]
+    CT = C["CTAB"][:]
+    cdist = cdist_ref[:]
+    cposc = [cpos_ref[c * ncon:(c + 1) * ncon] for c in range(3)]
+    frame = frame_ref[:]
+
+    dist_l = mxu(C["QSEL"][:], qpos) - LT[:, 0:1]
+    vel_l = mxu(JLIMv, qvel)
+
+    def impedance(x_pos, margin, d0, dmax, width, mid, pw):
+      x = jnp.abs(x_pos - margin) / width
+      x = jnp.clip(x, 0.0, 1.0)
+      if all_pw2:
+        a = 1.0 / jnp.maximum(mid, _MINVAL)
+        b = 1.0 / jnp.maximum(1.0 - mid, _MINVAL)
+        y = jnp.where(x < mid, a * x * x, 1.0 - b * (1.0 - x) * (1.0 - x))
+      else:
+        pwc = jnp.maximum(pw, 1.0)
+        a = 1.0 / jnp.maximum(mid, _MINVAL) ** (pwc - 1.0)
+        b = 1.0 / jnp.maximum(1.0 - mid, _MINVAL) ** (pwc - 1.0)
+        y = jnp.where(x < mid, a * x ** pwc, 1.0 - b * (1.0 - x) ** pwc)
+      return jnp.clip(d0 + y * (dmax - d0), _MINIMP, _MAXIMP)
+
+    imp_l = impedance(dist_l, LT[:, 3:4], LT[:, 6:7], LT[:, 7:8],
+                      LT[:, 8:9], LT[:, 9:10], LT[:, 10:11])
+    aref_l = (-LT[:, 2:3] * vel_l
+              - LT[:, 1:2] * imp_l * (dist_l - LT[:, 3:4]))
+    act_l = dist_l < LT[:, 3:4]
+    R_l = jnp.maximum((1.0 - imp_l) / jnp.maximum(imp_l, _MINVAL)
+                      * LT[:, 5:6], _MINVAL)
+    D_l = jnp.where(act_l, 1.0 / R_l, 0.0)
+
+    fx = frame[0 * nc3:1 * nc3]
+    fy = frame[1 * nc3:2 * nc3]
+    fz = frame[2 * nc3:3 * nc3]
+    EXPv = C["EXP3"][:]
+    rel2 = [cposc[c] - mxu(C["CB2"][:], com[c]) for c in range(3)]
+    ex = mxu(EXPv, rel2[0])
+    ey = mxu(EXPv, rel2[1])
+    ez = mxu(EXPv, rel2[2])
+    gxr = ey * fz - ez * fy
+    gyr = ez * fx - ex * fz
+    gzr = ex * fy - ey * fx
+    s_jc[:] = (fx[:, None, :] * v[0][None, :, :]
+               + fy[:, None, :] * v[1][None, :, :]
+               + fz[:, None, :] * v[2][None, :, :]
+               + gxr[:, None, :] * w[0][None, :, :]
+               + gyr[:, None, :] * w[1][None, :, :]
+               + gzr[:, None, :] * w[2][None, :, :])
+    if body1_zero:
+      s_jc[:] = s_jc[:] * C["CM2R"][:][:, :, None]
+    else:
+      rel1 = [cposc[c] - mxu(C["CB1"][:], com[c]) for c in range(3)]
+      e1x = mxu(EXPv, rel1[0])
+      e1y = mxu(EXPv, rel1[1])
+      e1z = mxu(EXPv, rel1[2])
+      g1x = e1y * fz - e1z * fy
+      g1y = e1z * fx - e1x * fz
+      g1z = e1x * fy - e1y * fx
+      jc1 = (fx[:, None, :] * v[0][None, :, :]
+             + fy[:, None, :] * v[1][None, :, :]
+             + fz[:, None, :] * v[2][None, :, :]
+             + g1x[:, None, :] * w[0][None, :, :]
+             + g1y[:, None, :] * w[1][None, :, :]
+             + g1z[:, None, :] * w[2][None, :, :])
+      s_jc[:] = (s_jc[:] * C["CM2R"][:][:, :, None]
+                 - jc1 * C["CM1R"][:][:, :, None])
+
+    jc = s_jc[:]
+
+    def matvec(x):
+      lim = mxu(JLIMv, x)
+      con = mxu(CMATv, jnp.sum(jc * x[None, :, :], axis=1))
+      return (lim, con)
+
+    def rmatvec(f):
+      out = mxu(JLIMv.T, f[0])
+      cb = mxu(CMATv.T, f[1])
+      return out + jnp.sum(jc * cb[:, None, :], axis=0)
+
+    pos_c = mxu(C["RID"][:], cdist)
+    vel_c = mxu(CMATv, jnp.sum(jc * qvel[None, :, :], axis=1))
+    imp_c = impedance(pos_c, CT[:, 3:4], CT[:, 6:7], CT[:, 7:8],
+                      CT[:, 8:9], CT[:, 9:10], CT[:, 10:11])
+    aref_c = (-CT[:, 2:3] * vel_c
+              - CT[:, 1:2] * imp_c * (pos_c - CT[:, 3:4]))
+    act_c = pos_c < CT[:, 4:5]
+    R_c = jnp.maximum((1.0 - imp_c) / jnp.maximum(imp_c, _MINVAL)
+                      * CT[:, 5:6], _MINVAL)
+    D_c = jnp.where(act_c, 1.0 / R_c, 0.0)
+
+    D = (D_l, D_c)
+    aref = (aref_l, aref_c)
+
+    # ================= primal CG (v1 flow) =================
+    def pmap2(f, a, b):
+      return tuple(f(x, y) for x, y in zip(a, b))
+
+    def psum(a):
+      return sum(jnp.sum(x, axis=0) for x in a)
+
+    def dterm_of(jar):
+      return pmap2(lambda j, dd: jnp.where(j < 0, dd, 0.0), jar, D)
+
+    def cost(x, jar):
+      dterm = dterm_of(jar)
+      dx = x - qacc_smooth
+      gauss = 0.5 * jnp.sum(dx * mmul0(qm, dx), axis=0)
+      pen = 0.5 * psum(pmap2(lambda t, j: t * j * j, dterm, jar))
+      return gauss + pen, dterm
+
+    def grad_fn(x, jar, dterm):
+      return mmul0(qm, x - qacc_smooth) + rmatvec(
+          pmap2(lambda t, j: t * j, dterm, jar))
+
+    x = qacc_smooth
+    jar = pmap2(lambda a, b: a - b, matvec(x), aref)
+    cur_cost, dterm = cost(x, jar)
+    g = grad_fn(x, jar, dterm)
+    Mg = mmul0(qminv, g)
+    p = -Mg
+    done = jnp.zeros((1, E), bool)
+    prev_g, prev_Mg = g, Mg
+
+    for _ in range(iters):
+      Jp = matvec(p)
+      pMp = jnp.sum(p * mmul0(qm, p), axis=0)
+      pMdx = jnp.sum(p * mmul0(qm, x - qacc_smooth), axis=0)
+
+      def dphi(alpha, jar=jar, Jp=Jp, pMp=pMp, pMdx=pMdx):
+        j = pmap2(lambda a, b: a + alpha[None, :] * b, jar, Jp)
+        dt_ = dterm_of(j)
+        jJp = pmap2(lambda a, b: a * b, j, Jp)
+        gg = pMdx + alpha * pMp + psum(pmap2(lambda t, u: t * u, dt_, jJp))
+        hh = pMp + psum(pmap2(lambda t, b: t * b * b, dt_, Jp))
+        return gg, hh
+
+      g0, h0 = dphi(jnp.zeros((E,), jnp.float32))
+      alpha = -g0 / jnp.maximum(h0, 1e-15)
+      for _i in range(n_ls):
+        gg, hh = dphi(alpha)
+        alpha = alpha - gg / jnp.maximum(hh, 1e-15)
+
+      x_n = x + alpha[None, :] * p
+      jar_n = pmap2(lambda a, b: a + alpha[None, :] * b, jar, Jp)
+      c_n, dterm_n = cost(x_n, jar_n)
+      g_n = grad_fn(x_n, jar_n, dterm_n)
+      Mg_n = mmul0(qminv, g_n)
+      num = (jnp.sum(g_n * Mg_n, axis=0)
+             - jnp.sum(prev_g * Mg_n, axis=0))
+      den = jnp.maximum(jnp.sum(prev_g * prev_Mg, axis=0), 1e-15)
+      beta = jnp.maximum(0.0, num / den)
+      p_n = -Mg_n + beta[None, :] * p
+      improvement = cur_cost - c_n
+      done_row = done[0]
+      done_n = done_row | (improvement < tol)
+      keep = done
+      sel = lambda old, new: jnp.where(keep, old, new)
+      x = sel(x, x_n)
+      jar = pmap2(sel, jar, jar_n)
+      p = sel(p, p_n)
+      prev_g = sel(prev_g, g_n)
+      prev_Mg = sel(prev_Mg, Mg_n)
+      cur_cost = jnp.where(done_row, cur_cost, c_n)
+      done = done_n[None, :]
+
+    dterm = dterm_of(jar)
+    force_efc = pmap2(lambda t, j: -t * j, dterm, jar)
+    qfrc_constraint = rmatvec(force_efc)
+
+    # ================= implicit damping + integration =================
+    qacc_int = x
+    if eulerdamp:
+      qfrc = qfs + qfrc_constraint
+      hb = C["HBD"][:]
+
+      def mhb(y):
+        return mmul0(qm, y) + hb * y
+
+      xd = mmul0(qminv, qfrc)
+      rr = qfrc - mhb(xd)
+      z = mmul0(qminv, rr)
+      pp = z
+      rz = jnp.sum(rr * z, axis=0)
+      for _ in range(6):
+        Ap = mhb(pp)
+        alpha = rz / jnp.maximum(jnp.sum(pp * Ap, axis=0), 1e-30)
+        xd = xd + alpha[None, :] * pp
+        rr = rr - alpha[None, :] * Ap
+        z = mmul0(qminv, rr)
+        rz_new = jnp.sum(rr * z, axis=0)
+        pp = z + (rz_new / jnp.maximum(rz, 1e-30))[None, :] * pp
+        rz = rz_new
+      qacc_int = xd
+
+    qvel_new = qvel + H * qacc_int
+    qpos_new = qpos + mxu(C["QVH"][:], qvel_new)
+    if has_free:
+      fq, fv = st2.fqadr, st2.fvadr
+      q0 = [qpos[fq + 3 + k:fq + 4 + k] for k in range(4)]
+      wv = [qvel_new[fv + 3 + k:fv + 4 + k] for k in range(3)]
+      nrm = jnp.sqrt(wv[0] * wv[0] + wv[1] * wv[1] + wv[2] * wv[2])
+      half = 0.5 * nrm * H
+      s = jnp.sin(half) / jnp.maximum(nrm, 1e-12)
+      dq = [jnp.cos(half), wv[0] * s, wv[1] * s, wv[2] * s]
+      qn = [
+          q0[0] * dq[0] - q0[1] * dq[1] - q0[2] * dq[2] - q0[3] * dq[3],
+          q0[0] * dq[1] + q0[1] * dq[0] + q0[2] * dq[3] - q0[3] * dq[2],
+          q0[0] * dq[2] - q0[1] * dq[3] + q0[2] * dq[0] + q0[3] * dq[1],
+          q0[0] * dq[3] + q0[1] * dq[2] - q0[2] * dq[1] + q0[3] * dq[0],
+      ]
+      qnn = jnp.sqrt(qn[0] * qn[0] + qn[1] * qn[1] + qn[2] * qn[2]
+                     + qn[3] * qn[3])
+      quat = jnp.concatenate([qn[k] / qnn for k in range(4)], axis=0)
+      qpos_new = (qpos_new * (1.0 - C["QMASKC"][:])
+                  + mxu(C["PQ"][:], quat))
+
+    # ================= outputs =================
+    o_com[:] = jnp.concatenate(com, axis=0)
+    o_cin[:] = jnp.concatenate(cin, axis=0)
+    o_cdof[:] = jnp.concatenate(cdof, axis=0)
+    o_cvel[:] = jnp.concatenate(cvel, axis=0)
+    o_cdofdot[:] = jnp.concatenate(cdof_dot, axis=0)
+    o_bias[:] = qfrc_bias
+    o_spring[:] = qfrc_spring
+    o_damper[:] = qfrc_damper
+    o_passive[:] = qfrc_passive
+    o_alen[:] = alen
+    o_avel[:] = avel
+    o_afrc[:] = force
+    o_actdot[:] = act_dot
+    o_qfa[:] = qfrc_actuator
+    o_qfs[:] = qfs
+    o_qaccs[:] = qacc_smooth
+    o_qacc[:] = x
+    o_qfc[:] = qfrc_constraint
+    o_flim[:] = force_efc[0]
+    o_fcon[:] = force_efc[1]
+    o_qpos[:] = qpos_new
+    o_qvel[:] = qvel_new
+    o_act[:] = actv + H * act_dot if has_act else actv
+
+  from jax.experimental import pallas as pl
+  from jax.experimental.pallas import tpu as pltpu
+
+  in_rows = [nq, np_, na_p, max(nu, 1), np_,
+             3 * nbody, 9 * nbody, 3 * Js, 3 * Js, 12,
+             ncon, 3 * ncon, 3 * nc3, 1]
+
+  def call(*arrs):
+    B = arrs[0].shape[-1]
+    grid = (B // E,)
+    spec = lambda rows: pl.BlockSpec(
+        (rows, E), lambda i: (0, i), memory_space=pltpu.VMEM)
+
+    def const_spec(shape):
+      return pl.BlockSpec(shape, lambda i: (0,) * len(shape),
+                          memory_space=pltpu.VMEM)
+
+    out_shape = tuple(
+        jax.ShapeDtypeStruct((r, B), jnp.float32) for r in out_rows)
+    return pl.pallas_call(
+        kernel,
+        out_shape=out_shape,
+        grid=grid,
+        in_specs=[const_spec(c.shape) for c in cvals] + [
+            spec(r) for r in in_rows],
+        out_specs=tuple(spec(r) for r in out_rows),
+        scratch_shapes=[pltpu.VMEM((np_, np_, E), jnp.float32),
+                        pltpu.VMEM((np_, np_, E), jnp.float32),
+                        pltpu.VMEM((np_, np_, E), jnp.float32),
+                        pltpu.VMEM((nc3, np_, E), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=128 * 1024 * 1024),
+        interpret=interpret,
+    )(*cvals, *arrs)
+
+  return call
+
+
+def fused_full_batched(m: Model, qpos, qvel, act, ctrl, qfrc_applied,
+                       xpos, xmat, xipos, ximat, xanchor, xaxis,
+                       con_dist, con_pos, con_frame):
+  """Batched full-dynamics substep. (B, ...) inputs -> the 22-tuple of
+  _core outputs."""
+  st2 = statics2(m)
+  st = st2.v1
+  B = qpos.shape[0]
+  E = _LANES
+  Bp = _round_up(max(B, E), E)
+  np_ = _round_up(st.nv, 8)
+  na_p = st2.na_p
+  js = st2.js
+  Js = st2.PSC.shape[1]
+
+  def prep(x):
+    perm = tuple(range(1, x.ndim)) + (0,)
+    y = jnp.transpose(x, perm)
+    if y.ndim > 2:
+      y = y.reshape(-1, y.shape[-1])
+    pad = [(0, 0)] * (y.ndim - 1) + [(0, Bp - B)]
+    return jnp.pad(y, pad)
+
+  def pad_last(x, n):
+    return jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, n - x.shape[-1])])
+
+  # comp-major prep
+  xipos_cm = jnp.swapaxes(xipos, -1, -2)                  # (B, 3, nbody)
+  ximat_cm = jnp.transpose(ximat, (0, 2, 3, 1)).reshape(B, 9, -1)
+  if len(js):
+    axj = jnp.swapaxes(xaxis[:, np.asarray(js)], -1, -2)  # (B, 3, Js)
+    anj = jnp.swapaxes(xanchor[:, np.asarray(js)], -1, -2)
+  else:
+    axj = jnp.zeros((B, 3, Js), qpos.dtype)
+    anj = jnp.zeros((B, 3, Js), qpos.dtype)
+  axj = pad_last(axj, Js)
+  anj = pad_last(anj, Js)
+  if st2.free_j >= 0:
+    fb = int(m.jnt_bodyid[st2.free_j])
+    xfree = jnp.concatenate(
+        [xpos[:, fb], xmat[:, fb].reshape(B, 9)], axis=1)  # (B, 12)
+  else:
+    xfree = jnp.zeros((B, 12), qpos.dtype)
+  cpos_cm = jnp.swapaxes(con_pos, -1, -2)                 # (B, 3, ncon)
+  fr = jnp.transpose(con_frame, (0, 3, 1, 2)).reshape(B, 3, -1)
+  dummy = jnp.zeros((B, 1), qpos.dtype)
+
+  actp = pad_last(act, na_p) if m.na else jnp.zeros((B, na_p), qpos.dtype)
+  ctrlp = ctrl if m.nu else jnp.zeros((B, 1), qpos.dtype)
+
+  arrs = [prep(qpos), prep(pad_last(qvel, np_)), prep(actp), prep(ctrlp),
+          prep(pad_last(qfrc_applied, np_)), prep(xipos_cm),
+          prep(ximat_cm), prep(axj), prep(anj), prep(xfree),
+          prep(con_dist), prep(cpos_cm), prep(fr), prep(dummy)]
+
+  out = _kernel(m, FORCE_INTERPRET)(*arrs)
+  unprep = lambda y: jnp.moveaxis(y, -1, 0)[:B]
+  (com, cinr, cdof, cvel, cdofdot, bias, spring, damper, passive,
+   alen, avel, afrc, actdot, qfa_out, qfs, qaccs, qacc, qfc,
+   flim, fcon, qpos_n, qvel_n, act_n) = map(unprep, out)
+
+  def comp_major(y, ncomp, n):
+    return jnp.swapaxes(y.reshape(B, ncomp, n), -1, -2)
+
+  nv = st.nv
+  return (
+      comp_major(com, 3, m.nbody),
+      comp_major(cinr, 10, m.nbody),
+      comp_major(cdof, 6, np_)[:, :nv],
+      comp_major(cvel, 6, m.nbody),
+      comp_major(cdofdot, 6, np_)[:, :nv],
+      bias[:, :nv], spring[:, :nv], damper[:, :nv], passive[:, :nv],
+      alen[:, :m.nu], avel[:, :m.nu], afrc[:, :m.nu],
+      actdot[:, :m.na] if m.na else jnp.zeros((B, 0), qpos_n.dtype),
+      qfa_out[:, :nv], qfs[:, :nv], qaccs[:, :nv], qacc[:, :nv],
+      qfc[:, :nv],
+      jnp.concatenate([flim, fcon], axis=1),
+      qpos_n, qvel_n[:, :nv],
+      act_n[:, :m.na] if m.na else jnp.zeros((B, 0), qpos_n.dtype),
+  )
+
+
+@functools.lru_cache(maxsize=8)
+def fused_full_entry(m: Model):
+  """custom-vmap entry: stage composition unbatched; the full fused
+  Pallas kernel when vmapped on TPU f32."""
+
+  @jax.custom_batching.custom_vmap
+  def fused(qpos, qvel, act, ctrl, qfrc_applied, xpos, xmat, xipos,
+            ximat, xanchor, xaxis, con_dist, con_pos, con_frame):
+    return _core(m, qpos, qvel, act, ctrl, qfrc_applied, xpos, xmat,
+                 xipos, ximat, xanchor, xaxis, con_dist, con_pos,
+                 con_frame)
+
+  @fused.def_vmap
+  def _fused_vmap(axis_size, in_batched, *args):
+    del axis_size
+    use_kernel = (FORCE_INTERPRET
+                  or (jax.default_backend() == "tpu"
+                      and args[0].dtype == jnp.float32))
+    if use_kernel and all(in_batched):
+      out = fused_full_batched(m, *args)
+    else:
+      out = jax.vmap(lambda *a: _core(m, *a))(*args)
+    return out, tuple(True for _ in range(22))
+
+  return fused
+
+
+# v1-compat shim: number of outputs for vmap bookkeeping
+N_OUT = 22

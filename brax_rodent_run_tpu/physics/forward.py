@@ -36,14 +36,16 @@ def fwd_velocity(m: Model, d: Data) -> Data:
   return d
 
 
-def forward(m: Model, d: Data) -> Data:
+def forward(m: Model, d: Data, sensors: bool = True) -> Data:
   d = fwd_position(m, d)
   d = fwd_velocity(m, d)
-  d = sensor_mod.sensor_vel(m, d)
+  if sensors:
+    d = sensor_mod.sensor_vel(m, d)
   d = smooth.fwd_actuation(m, d)
   d = smooth.fwd_acceleration(m, d)
   d = solver_mod.solve(m, d)
-  d = sensor_mod.sensor_acc(m, d)
+  if sensors:
+    d = sensor_mod.sensor_acc(m, d)
   return d
 
 
@@ -128,11 +130,95 @@ def euler(m: Model, d: Data) -> Data:
   return d.replace(qpos=qpos, qvel=qvel, act=act, time=d.time + h)
 
 
-def step(m: Model, d: Data, ctrl: jax.Array | None = None) -> Data:
-  """One physics substep: forward dynamics + Euler integration."""
+def step_fused(m: Model, d: Data, sensors: bool = True) -> Data:
+  """forward + euler with the fused implicit-dynamics op (ops/fused.py):
+  crb+factor, make_constraint, fwd_acceleration, solve and euler's
+  damping CG collapse into one kernel on TPU (exact stage composition
+  everywhere else). qM/qMinv/con_Jbase/efc_D... are left untouched —
+  nothing downstream of this path reads them."""
+  from brax_rodent_run_tpu.ops import fused as fused_mod
+
+  d = smooth.kinematics(m, d)
+  d = smooth.com_pos(m, d)
+  d = smooth.tendon(m, d)
+  d = collision.collision(m, d)
+  d = smooth.transmission(m, d)
+  d = smooth.com_vel(m, d)
+  d = smooth.rne(m, d)
+  d = smooth.passive(m, d)
+  if sensors:
+    d = sensor_mod.sensor_vel(m, d)
+  d = smooth.fwd_actuation(m, d)
+  qfrc_smooth = (d.qfrc_passive - d.qfrc_bias + d.qfrc_actuator
+                 + d.qfrc_applied)
+  (qacc, qacc_smooth, qfrc_constraint, efc_force,
+   qvel_new) = fused_mod.fused_entry(m)(
+      d.qpos, d.qvel, d.cinert, d.cdof, qfrc_smooth,
+      d.contact.dist, d.contact.pos, d.contact.frame, d.subtree_com)
+  d = d.replace(qacc=qacc, qacc_smooth=qacc_smooth,
+                qfrc_smooth=qfrc_smooth,
+                qfrc_constraint=qfrc_constraint, efc_force=efc_force)
+  if sensors:
+    d = sensor_mod.sensor_acc(m, d)
+  h = jnp.asarray(m.opt.timestep, d.qpos.dtype)
+  act = d.act + h * d.act_dot if m.na else d.act
+  qpos = _integrate_pos(m, d.qpos, qvel_new, h)
+  return d.replace(qpos=qpos, qvel=qvel_new, act=act, time=d.time + h)
+
+
+def step_fused_full(m: Model, d: Data, sensors: bool = True) -> Data:
+  """kinematics + collision in XLA; EVERYTHING else — com_pos through
+  Euler integration — in the full-dynamics Pallas kernel
+  (ops/fused_full.py). Sensor stages run on the pre-integration state,
+  exactly where the stage pipeline runs them."""
+  from brax_rodent_run_tpu.ops import fused_full as ff
+
+  d = smooth.kinematics(m, d)
+  d = collision.collision(m, d)
+  (subtree_com, cinert, cdof, cvel, cdof_dot, qfrc_bias, qfrc_spring,
+   qfrc_damper, qfrc_passive, alen, avel, afrc, act_dot, qfrc_actuator,
+   qfrc_smooth, qacc_smooth, qacc, qfrc_constraint, efc_force,
+   qpos_new, qvel_new, act_new) = ff.fused_full_entry(m)(
+      d.qpos, d.qvel, d.act, d.ctrl, d.qfrc_applied,
+      d.xpos, d.xmat, d.xipos, d.ximat, d.xanchor, d.xaxis,
+      d.contact.dist, d.contact.pos, d.contact.frame)
+  # actuator_moment is a compile-time constant in the v2 envelope
+  # (scalar-joint transmission only)
+  moment = jnp.asarray(ff.statics2(m).MOM[:m.nu, :m.nv], d.qpos.dtype)
+  d = d.replace(
+      subtree_com=subtree_com, cinert=cinert, cdof=cdof, cvel=cvel,
+      cdof_dot=cdof_dot, qfrc_bias=qfrc_bias, qfrc_spring=qfrc_spring,
+      qfrc_damper=qfrc_damper, qfrc_passive=qfrc_passive,
+      actuator_length=alen, actuator_velocity=avel, actuator_force=afrc,
+      actuator_moment=moment, act_dot=act_dot,
+      qfrc_actuator=qfrc_actuator, qfrc_smooth=qfrc_smooth,
+      qacc_smooth=qacc_smooth, qacc=qacc,
+      qfrc_constraint=qfrc_constraint, efc_force=efc_force)
+  if sensors:
+    d = sensor_mod.sensor_vel(m, d)
+    d = sensor_mod.sensor_acc(m, d)
+  h = jnp.asarray(m.opt.timestep, d.qpos.dtype)
+  return d.replace(qpos=qpos_new, qvel=qvel_new, act=act_new,
+                   time=d.time + h)
+
+
+def step(m: Model, d: Data, ctrl: jax.Array | None = None,
+         sensors: bool = True) -> Data:
+  """One physics substep: forward dynamics + Euler integration.
+
+  ``sensors=False`` skips the sensor stages (sensordata passes through
+  unchanged); environments use it for all but the last substep of a
+  control step, where sensordata is observationally dead.
+  """
   if ctrl is not None:
     d = d.replace(ctrl=jnp.asarray(ctrl, d.qpos.dtype))
-  d = forward(m, d)
+  from brax_rodent_run_tpu.ops import fused as fused_mod
+  from brax_rodent_run_tpu.ops import fused_full as ff
+  if ff.eligible_full(m):
+    return step_fused_full(m, d, sensors=sensors)
+  if fused_mod.eligible(m):
+    return step_fused(m, d, sensors=sensors)
+  d = forward(m, d, sensors=sensors)
   return euler(m, d)
 
 

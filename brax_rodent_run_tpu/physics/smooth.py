@@ -33,15 +33,19 @@ def _cast(x, dtype):
 # ---------------------------------------------------------------------------
 
 def kinematics(m: Model, d: Data) -> Data:
-  """Body/geom/site frames from qpos (mj_kinematics contract)."""
+  """Body/geom/site frames from qpos (mj_kinematics contract).
+
+  Level-vectorized: bodies are processed by tree depth, one batched
+  update per level (static gathers of per-level constants, jnp.where
+  branch selection per joint type). Per-body formulas are identical to
+  the sequential recursion; only the grouping differs. This keeps the
+  graph size O(depth * max_joints_per_body) instead of O(nbody) — the
+  unrolled form was ~12k HLO ops for the rodent and dominated XLA:CPU
+  compile time (254 s of the 588 s forward build)."""
   dt = d.qpos.dtype
   nb = m.nbody
   qpos = d.qpos
-
-  xpos = [jnp.zeros(3, dt)] * nb
-  xquat = [jnp.array([1.0, 0, 0, 0], dt)] * nb
-  xanchor = [None] * m.njnt
-  xaxis = [None] * m.njnt
+  mk = masks(m)
 
   body_pos = _cast(m.body_pos, dt)
   body_quat = _cast(m.body_quat, dt)
@@ -49,46 +53,79 @@ def kinematics(m: Model, d: Data) -> Data:
   jnt_axis = _cast(m.jnt_axis, dt)
   qpos0 = _cast(m.qpos0, dt)
 
-  for b in range(1, nb):
-    p = int(m.body_parentid[b])
-    pos = xpos[p] + math.quat_rot(xquat[p], body_pos[b])
-    quat = math.quat_mul(xquat[p], body_quat[b])
-    jadr, jnum = int(m.body_jntadr[b]), int(m.body_jntnum[b])
-    for j in range(jadr, jadr + jnum):
-      jtype = int(m.jnt_type[j])
-      qadr = int(m.jnt_qposadr[j])
-      if jtype == JointType.FREE:
-        pos = qpos[qadr:qadr + 3]
-        quat = math.normalize(qpos[qadr + 3:qadr + 7])
-        xanchor[j] = pos
-        xaxis[j] = jnt_axis[j]  # free joint: axis stays world-z
-      elif jtype == JointType.HINGE:
-        anchor = pos + math.quat_rot(quat, jnt_pos[j])
-        axis = math.quat_rot(quat, jnt_axis[j])
-        qloc = math.axis_angle_to_quat(jnt_axis[j],
-                                       qpos[qadr] - qpos0[qadr])
-        quat = math.quat_mul(quat, qloc)
-        pos = anchor - math.quat_rot(quat, jnt_pos[j])
-        xanchor[j] = anchor
-        xaxis[j] = axis
-      elif jtype == JointType.SLIDE:
-        axis = math.quat_rot(quat, jnt_axis[j])
-        pos = pos + axis * (qpos[qadr] - qpos0[qadr])
-        xanchor[j] = pos + math.quat_rot(quat, jnt_pos[j])
-        xaxis[j] = axis
-      else:
-        raise NotImplementedError(f"joint type {jtype}")
-    xpos[b] = pos
-    xquat[b] = quat
+  bad = set(int(t) for t in m.jnt_type) - {
+      int(JointType.FREE), int(JointType.HINGE), int(JointType.SLIDE)}
+  if bad:
+    raise NotImplementedError(f"joint types {bad}")
 
-  xpos = jnp.stack(xpos)
-  xquat = jnp.stack(xquat)
+  xpos = jnp.zeros((nb, 3), dt)
+  xquat = jnp.zeros((nb, 4), dt).at[:, 0].set(1.0)
+  xanchor = jnp.zeros((max(m.njnt, 1), 3), dt)
+  xaxis = jnp.zeros((max(m.njnt, 1), 3), dt)
+
+  jnum_np = np.asarray(m.body_jntnum)
+  jadr_np = np.asarray(m.body_jntadr)
+  jtype_np = np.asarray(m.jnt_type)
+  qadr_np = np.asarray(m.jnt_qposadr)
+
+  for ids in mk.levels:
+    par = np.asarray(m.body_parentid)[ids]
+    pquat = xquat[par]                                    # (L, 4)
+    pos = xpos[par] + math.quat_rot(pquat, body_pos[ids])
+    quat = math.quat_mul(pquat, body_quat[ids])
+
+    kmax = int(jnum_np[ids].max()) if len(ids) else 0
+    for k in range(kmax):
+      has = jnum_np[ids] > k                              # (L,) static
+      j_ids = np.where(has, jadr_np[ids] + k, 0)
+      jt = jtype_np[j_ids]
+      qadr = qadr_np[j_ids]
+      ax0 = jnt_axis[j_ids]                               # (L, 3)
+      jp = jnt_pos[j_ids]
+      qv = qpos[qadr]                                     # (L,)
+      q0 = qpos0[qadr]
+
+      is_h = (jt == JointType.HINGE) & has
+      is_s = (jt == JointType.SLIDE) & has
+      is_f = (jt == JointType.FREE) & has
+      h1 = jnp.asarray(is_h[:, None])
+      s1 = jnp.asarray(is_s[:, None])
+      f1 = jnp.asarray(is_f[:, None])
+
+      # hinge
+      anchor_h = pos + math.quat_rot(quat, jp)
+      axis_w = math.quat_rot(quat, ax0)                   # hinge & slide
+      qloc = math.axis_angle_to_quat(ax0, qv - q0)
+      quat_h = math.quat_mul(quat, qloc)
+      pos_h = anchor_h - math.quat_rot(quat_h, jp)
+      # slide
+      pos_s = pos + axis_w * (qv - q0)[:, None]
+      anchor_s = pos_s + math.quat_rot(quat, jp)
+      # free (only ever the single joint of its body)
+      if np.any(is_f):
+        pos_f = qpos[qadr[:, None] + np.array([0, 1, 2])]
+        quat_f = math.normalize(qpos[qadr[:, None] + np.array([3, 4, 5, 6])])
+      else:
+        pos_f, quat_f = pos, quat
+
+      pos = jnp.where(h1, pos_h, jnp.where(s1, pos_s,
+                      jnp.where(f1, pos_f, pos)))
+      quat = jnp.where(h1, quat_h, jnp.where(f1, quat_f, quat))
+
+      anchor = jnp.where(h1, anchor_h, jnp.where(s1, anchor_s, pos_f))
+      axis = jnp.where(jnp.asarray((is_h | is_s))[:, None], axis_w, ax0)
+      # scatter joint outputs; inactive rows target index njnt -> dropped
+      tgt = jnp.asarray(np.where(has, j_ids, m.njnt))
+      xanchor = xanchor.at[tgt].set(anchor, mode="drop")
+      xaxis = xaxis.at[tgt].set(axis, mode="drop")
+
+    xpos = xpos.at[np.asarray(ids)].set(pos)
+    xquat = xquat.at[np.asarray(ids)].set(quat)
+
   xmat = math.quat_to_mat(xquat)
-  z3 = jnp.zeros(3, dt)
-  xanchor = jnp.stack([a if a is not None else z3 for a in xanchor]) \
-      if m.njnt else jnp.zeros((0, 3), dt)
-  xaxis = jnp.stack([a if a is not None else z3 for a in xaxis]) \
-      if m.njnt else jnp.zeros((0, 3), dt)
+  if not m.njnt:
+    xanchor = jnp.zeros((0, 3), dt)
+    xaxis = jnp.zeros((0, 3), dt)
 
   # inertial frames
   xipos = xpos + math.quat_rot(xquat, _cast(m.body_ipos, dt))
@@ -172,8 +209,11 @@ def com_pos(m: Model, d: Data) -> Data:
     lin_h = jnp.cross(ax, o - d.xanchor[jidx])
     ang = jnp.where(jnp.asarray(is_hinge), ax, 0.0)
     lin = jnp.where(jnp.asarray(is_hinge), lin_h, ax)
-    cdof = cdof.at[jnp.asarray(vadrs)].set(
-        jnp.concatenate([ang, lin], axis=1))
+    # static one-hot placement instead of a batched scatter (vmapped
+    # scatters lower poorly on TPU; this is one small MXU matmul)
+    P = np.zeros((m.nv, len(hs)), np.float64)
+    P[vadrs, np.arange(len(hs))] = 1.0
+    cdof = _cast(P, dt) @ jnp.concatenate([ang, lin], axis=1)
   for j in range(m.njnt):
     if int(m.jnt_type[j]) != JointType.FREE:
       continue

@@ -32,6 +32,15 @@ from brax_rodent_run_tpu.physics.constraint import (
 from brax_rodent_run_tpu.physics.types import Data, Model, SolverType
 
 
+def _unroll() -> bool:
+  """Unroll the outer solver iteration only where it pays: on TPU the
+  unrolled body lets XLA fuse/overlap trips (and the hot path is the
+  Pallas kernel anyway); on CPU (tests, dry-runs) the 8x-duplicated
+  graph just multiplies compile time, so use lax.while_loop there.
+  Identical numerics either way: masked trips discard their values."""
+  return jax.default_backend() != "cpu"
+
+
 class _Ctx(NamedTuple):
   x: jax.Array        # (nv,) current qacc
   jar: jax.Array      # (nefc,) J x - aref
@@ -128,7 +137,7 @@ def _cg_core(m: Model, con_Jbase, qM, qMinv, efc_D, efc_aref,
     return _Ctx(x=x, jar=jar, grad=grad, Mgrad=Mgrad, search=search,
                 cost=cst, prev_cost=c.cost, it=c.it + 1, done=done)
 
-  if m.opt.iterations <= 16:
+  if m.opt.iterations <= 16 and _unroll():
     # unroll with done-masking: identical semantics to the while_loop,
     # but XLA can fuse/overlap instead of a serial loop per trip
     out = ctx
@@ -239,7 +248,7 @@ def _newton_iters(m: Model, d: Data, improvement_scale) -> Data:
     return _Ctx(x=x, jar=jar, grad=grad, Mgrad=Mgrad, search=search,
                 cost=cst, prev_cost=c.cost, it=c.it + 1, done=done)
 
-  if m.opt.iterations <= 16:
+  if m.opt.iterations <= 16 and _unroll():
     out = ctx
     for _ in range(m.opt.iterations):
       new = body(out)

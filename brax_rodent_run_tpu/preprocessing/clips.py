@@ -119,7 +119,7 @@ def process_clip_to_train(
   if model is None:
     from brax_rodent_run_tpu.mjcf import load_model
     model = load_model(mjcf_path)
-  model = rescale_model(model, scale_factor)
+  model = rescale_model(model, scale_factor, xml_path=mjcf_path)
   return process_clip(mocap_qpos, model, max_qvel=max_qvel, dt=dt)
 
 

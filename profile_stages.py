@@ -69,7 +69,23 @@ def main():
       ("sensor_acc", sensor_mod.sensor_acc),
       ("euler", forward.euler),
       ("FULL substep", lambda mm, dd: forward.step(mm, dd)),
+      ("FULL substep nosens", lambda mm, dd: forward.step(mm, dd,
+                                                          sensors=False)),
   ]
+
+  from brax_rodent_run_tpu.ops import fused as fused_mod
+  if fused_mod.eligible(m):
+    def fused_region(mm, dd):
+      qfs = (dd.qfrc_passive - dd.qfrc_bias + dd.qfrc_actuator
+             + dd.qfrc_applied)
+      out = fused_mod.fused_entry(mm)(
+          dd.qpos, dd.qvel, dd.cinert, dd.cdof, qfs,
+          dd.contact.dist, dd.contact.pos, dd.contact.frame,
+          dd.subtree_com)
+      return dd.replace(qacc=out[0], qacc_smooth=out[1],
+                        qfrc_constraint=out[2], efc_force=out[3],
+                        qvel=out[4])
+    stages.insert(-2, ("fused_kernel", fused_region))
 
   def timed_loop(fn):
     """iters× fn on device with a dependency chain; one host sync."""
@@ -104,7 +120,7 @@ def main():
   total = 0.0
   for name, fn in stages:
     dt = max(timed_loop(fn) - overhead, 0.0) / iters
-    if name != "FULL substep":
+    if not (name.startswith("FULL") or name == "fused_kernel"):
       total += dt
     print(f"{name:18s} {dt*1e3:9.2f} ms  "
           f"({N/max(dt, 1e-12):12.0f} env-substeps/s)", flush=True)

@@ -9,6 +9,12 @@ Production code is dtype-agnostic and runs f32 on TPU.
 import os
 import sys
 
+# Trajectory/oracle tests exercise the unfused stage pipeline (the semantic
+# reference; its big rodent programs are compile-cached across runs). The
+# fused Pallas substep is proven equal to the stage pipeline by the
+# dedicated interpret-mode tests in test_ops.py, which clear this var.
+os.environ.setdefault("BRR_NO_FUSED", "1")
+
 os.environ["JAX_PLATFORMS"] = "cpu"
 os.environ["XLA_FLAGS"] = (
     os.environ.get("XLA_FLAGS", "")

@@ -109,3 +109,221 @@ def test_cg_kernel_matches_core():
   for name, a, b in zip(("qacc", "force", "qfrc"), out, ref):
     np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                rtol=2e-3, atol=2e-3, err_msg=name)
+
+
+# mini model for the fused-dynamics kernel: needs contacts AND joint
+# limits (eligibility requires both row families) plus damping so the
+# implicit-euler branch is exercised.
+_FUSED_XML = """
+<mujoco>
+  <option timestep="0.002" solver="CG" iterations="8" ls_iterations="8"/>
+  <worldbody>
+    <geom name="floor" type="plane" size="0 0 1" contype="1" conaffinity="1"/>
+    <body name="box" pos="0 0 0.06">
+      <freejoint/>
+      <geom name="bgeom" type="box" size="0.05 0.05 0.05" density="800"
+            contype="1" conaffinity="1"/>
+      <body name="arm" pos="0 0 0.05">
+        <joint name="swing" type="hinge" axis="0 1 0" damping="0.01"
+               limited="true" range="-30 30"/>
+        <geom name="ageom" type="capsule" size="0.01" fromto="0 0 0 0 0 0.1"
+              contype="0" conaffinity="0"/>
+      </body>
+    </body>
+  </worldbody>
+  <actuator><motor joint="swing" gear="0.2"/></actuator>
+</mujoco>
+"""
+
+
+def _fused_model():
+  import mujoco
+  from brax_rodent_run_tpu.mjcf.from_mj import from_mj_model
+  mj_model = mujoco.MjModel.from_xml_string(_FUSED_XML)
+  mj_model.opt.jacobian = 0
+  return from_mj_model(mj_model)
+
+
+def test_fused_kernel_matches_core(monkeypatch):
+  """Fused implicit-dynamics kernel (interpret mode) == vmapped XLA core
+  (_core = exact stage composition) on real pipeline data."""
+  monkeypatch.delenv("BRR_NO_FUSED", raising=False)
+  from brax_rodent_run_tpu.ops import fused as fused_mod
+  from brax_rodent_run_tpu.physics import forward
+  from brax_rodent_run_tpu.physics.types import make_data
+
+  m = _fused_model()
+  assert fused_mod.eligible(m), "mini model should be fused-eligible"
+
+  B = 8
+  key = jax.random.PRNGKey(0)
+  d0 = make_data(m, dtype=jnp.float32)
+  qpos = jnp.tile(jnp.asarray(m.qpos0, jnp.float32), (B, 1)) + \
+      jax.random.uniform(key, (B, m.nq), jnp.float32, -0.02, 0.02)
+  qvel = jax.random.uniform(key, (B, m.nv), jnp.float32, -0.5, 0.5)
+  batch = jax.vmap(lambda q, v: d0.replace(qpos=q, qvel=v))(qpos, qvel)
+  batch = jax.jit(jax.vmap(lambda d: forward.forward(m, d)))(batch)
+  assert bool(jnp.any(batch.efc_active)), "no active rows; vacuous"
+
+  qfrc_smooth = (batch.qfrc_passive - batch.qfrc_bias
+                 + batch.qfrc_actuator + batch.qfrc_applied)
+  args = (batch.qpos, batch.qvel, batch.cinert, batch.cdof, qfrc_smooth,
+          batch.contact.dist, batch.contact.pos, batch.contact.frame,
+          batch.subtree_com)
+  ref = jax.vmap(lambda *a: fused_mod._core(m, *a))(*args)
+  fused_mod.FORCE_INTERPRET = True
+  try:
+    out = fused_mod.fused_batched(m, *args)
+  finally:
+    fused_mod.FORCE_INTERPRET = False
+  names = ("qacc", "qacc_smooth", "qfrc_constraint", "efc_force",
+           "qvel_new")
+  for name, a, b in zip(names, out, ref):
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               rtol=2e-3, atol=2e-3, err_msg=name)
+
+
+def test_fused_core_matches_pipeline():
+  """_core's outputs equal the unfused forward() pipeline's fields, so
+  the fused substep preserves step() semantics wherever it is enabled."""
+  from brax_rodent_run_tpu.ops import fused as fused_mod
+  from brax_rodent_run_tpu.physics import forward
+  from brax_rodent_run_tpu.physics.types import make_data
+
+  m = _fused_model()
+
+  d0 = make_data(m, dtype=jnp.float32)
+  key = jax.random.PRNGKey(3)
+  d0 = d0.replace(
+      qpos=jnp.asarray(m.qpos0, jnp.float32)
+      + jax.random.uniform(key, (m.nq,), jnp.float32, -0.02, 0.02),
+      qvel=jax.random.uniform(key, (m.nv,), jnp.float32, -0.5, 0.5))
+  df = jax.jit(lambda d: forward.forward(m, d))(d0)
+  de = jax.jit(lambda d: forward.euler(m, d))(df)
+
+  qfrc_smooth = (df.qfrc_passive - df.qfrc_bias + df.qfrc_actuator
+                 + df.qfrc_applied)
+  out = jax.jit(lambda *a: fused_mod._core(m, *a))(
+      df.qpos, df.qvel, df.cinert, df.cdof, qfrc_smooth,
+      df.contact.dist, df.contact.pos, df.contact.frame, df.subtree_com)
+  qacc, qacc_smooth, qfrc_constraint, efc_force, qvel_new = out
+  np.testing.assert_allclose(np.asarray(qacc), np.asarray(df.qacc),
+                             rtol=1e-5, atol=1e-5)
+  np.testing.assert_allclose(
+      np.asarray(qacc_smooth), np.asarray(df.qacc_smooth),
+      rtol=1e-5, atol=1e-5)
+  np.testing.assert_allclose(
+      np.asarray(qfrc_constraint), np.asarray(df.qfrc_constraint),
+      rtol=1e-5, atol=1e-5)
+  np.testing.assert_allclose(np.asarray(efc_force),
+                             np.asarray(df.efc_force),
+                             rtol=1e-5, atol=1e-5)
+  np.testing.assert_allclose(np.asarray(qvel_new), np.asarray(de.qvel),
+                             rtol=1e-5, atol=1e-5)
+
+
+_FUSED2_XML = _FUSED_XML.replace(
+    "<actuator><motor joint=\"swing\" gear=\"0.2\"/></actuator>",
+    """<actuator>
+      <motor joint="swing" gear="0.2"/>
+      <general joint="swing" gear="0.3" dyntype="filter" dynprm="0.01"
+               gaintype="fixed" gainprm="5 0 0" biastype="affine"
+               biasprm="0 -1 -0.1" ctrlrange="-1 1" ctrllimited="true"
+               forcerange="-10 10" forcelimited="true"/>
+    </actuator>""")
+
+
+def _fused2_model():
+  import mujoco
+  from brax_rodent_run_tpu.mjcf.from_mj import from_mj_model
+  mj_model = mujoco.MjModel.from_xml_string(_FUSED2_XML)
+  mj_model.opt.jacobian = 0
+  return from_mj_model(mj_model)
+
+
+def _fused2_batch(m, B=8):
+  from brax_rodent_run_tpu.physics import forward
+  from brax_rodent_run_tpu.physics.types import make_data
+  key = jax.random.PRNGKey(0)
+  k1, k2, k3 = jax.random.split(key, 3)
+  d0 = make_data(m, dtype=jnp.float32)
+  qpos = jnp.tile(jnp.asarray(m.qpos0, jnp.float32), (B, 1)) + \
+      jax.random.uniform(k1, (B, m.nq), jnp.float32, -0.02, 0.02)
+  qvel = jax.random.uniform(k2, (B, m.nv), jnp.float32, -0.5, 0.5)
+  ctrl = jax.random.uniform(k3, (B, m.nu), jnp.float32, -1.5, 1.5)
+  act = jax.random.uniform(k3, (B, m.na), jnp.float32, -0.3, 0.3)
+  batch = jax.vmap(
+      lambda q, v, c, a: d0.replace(qpos=q, qvel=v, ctrl=c, act=a))(
+          qpos, qvel, ctrl, act)
+  batch = jax.jit(jax.vmap(lambda d: forward.forward(m, d)))(batch)
+  assert bool(jnp.any(batch.efc_active)), "no active rows; vacuous"
+  return batch
+
+
+_FF_NAMES = ("subtree_com", "cinert", "cdof", "cvel", "cdof_dot",
+             "qfrc_bias", "qfrc_spring", "qfrc_damper", "qfrc_passive",
+             "actuator_length", "actuator_velocity", "actuator_force",
+             "act_dot", "qfrc_actuator", "qfrc_smooth", "qacc_smooth",
+             "qacc", "qfrc_constraint", "efc_force",
+             "qpos_new", "qvel_new", "act_new")
+
+
+def test_fused_full_kernel_matches_core(monkeypatch):
+  """Full-dynamics kernel (interpret mode) == vmapped XLA stage
+  composition on real pipeline data (limits + contacts + filter and
+  motor actuators + free joint + implicit damping)."""
+  monkeypatch.delenv("BRR_NO_FUSED", raising=False)
+  from brax_rodent_run_tpu.ops import fused_full as ff
+
+  m = _fused2_model()
+  assert ff.eligible_full(m), "mini model should be v2-eligible"
+  batch = _fused2_batch(m)
+
+  args = (batch.qpos, batch.qvel, batch.act, batch.ctrl,
+          batch.qfrc_applied, batch.xpos, batch.xmat, batch.xipos,
+          batch.ximat, batch.xanchor, batch.xaxis,
+          batch.contact.dist, batch.contact.pos, batch.contact.frame)
+  ref = jax.vmap(lambda *a: ff._core(m, *a))(*args)
+  ff.FORCE_INTERPRET = True
+  try:
+    out = ff.fused_full_batched(m, *args)
+  finally:
+    ff.FORCE_INTERPRET = False
+  assert len(out) == len(ref) == len(_FF_NAMES)
+  for name, a, b in zip(_FF_NAMES, out, ref):
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               rtol=2e-3, atol=2e-3, err_msg=name)
+
+
+def test_fused_full_core_matches_pipeline():
+  """v2 _core's outputs equal the unfused forward()+euler() fields, so
+  step_fused_full preserves step() semantics where enabled."""
+  from brax_rodent_run_tpu.ops import fused_full as ff
+  from brax_rodent_run_tpu.physics import forward
+  from brax_rodent_run_tpu.physics.types import make_data
+
+  m = _fused2_model()
+  d0 = make_data(m, dtype=jnp.float32)
+  key = jax.random.PRNGKey(7)
+  k1, k2, k3 = jax.random.split(key, 3)
+  d0 = d0.replace(
+      qpos=jnp.asarray(m.qpos0, jnp.float32)
+      + jax.random.uniform(k1, (m.nq,), jnp.float32, -0.02, 0.02),
+      qvel=jax.random.uniform(k2, (m.nv,), jnp.float32, -0.5, 0.5),
+      ctrl=jax.random.uniform(k3, (m.nu,), jnp.float32, -1.5, 1.5))
+  df = jax.jit(lambda d: forward.forward(m, d))(d0)
+  de = jax.jit(lambda d: forward.euler(m, d))(df)
+
+  out = jax.jit(lambda *a: ff._core(m, *a))(
+      df.qpos, df.qvel, df.act, df.ctrl, df.qfrc_applied,
+      df.xpos, df.xmat, df.xipos, df.ximat, df.xanchor, df.xaxis,
+      df.contact.dist, df.contact.pos, df.contact.frame)
+  want = (df.subtree_com, df.cinert, df.cdof, df.cvel, df.cdof_dot,
+          df.qfrc_bias, df.qfrc_spring, df.qfrc_damper, df.qfrc_passive,
+          df.actuator_length, df.actuator_velocity, df.actuator_force,
+          df.act_dot, df.qfrc_actuator, df.qfrc_smooth, df.qacc_smooth,
+          df.qacc, df.qfrc_constraint, df.efc_force,
+          de.qpos, de.qvel, de.act)
+  for name, a, b in zip(_FF_NAMES, out, want):
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               rtol=1e-5, atol=1e-5, err_msg=name)

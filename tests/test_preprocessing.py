@@ -49,7 +49,7 @@ def test_features_match_rescaled_mujoco():
     xquat_ref.append(mjd.xquat.copy())
 
   ours = from_mj_model(mujoco.MjModel.from_xml_path(path))
-  ours = rescale_model(ours, 0.9)
+  ours = rescale_model(ours, 0.9, xml_path=path)
   clip = process_clip(jnp.array(traj), ours, dt=0.02)
 
   np.testing.assert_allclose(clip.body_positions, np.stack(xpos_ref),
