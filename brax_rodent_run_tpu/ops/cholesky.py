@@ -65,9 +65,10 @@ def _chol_inplace(n, np_, a_ref, l_ref):
     s = _blk_lo(k)
     ct = col[s:]
     a_ref[s:, s:, :] = a_ref[s:, s:, :] - ct[:, None, :] * ct[None, :, :]
+  lanes = a_ref.shape[-1]
   for k in range(n, np_):                           # identity padding
     l_ref[:, k, :] = jnp.broadcast_to(
-        jnp.where(rows == k, 1.0, 0.0), (np_, _LANES)).astype(dtype)
+        jnp.where(rows == k, 1.0, 0.0), (np_, lanes)).astype(dtype)
 
 
 def _inv_from_chol_inplace(np_, l_ref, x_ref, inv_ref):
@@ -78,7 +79,8 @@ def _inv_from_chol_inplace(np_, l_ref, x_ref, inv_ref):
   rows1 = jax.lax.broadcasted_iota(jnp.int32, (np_, 1), 0)
   eye2 = (jax.lax.broadcasted_iota(jnp.int32, (np_, np_, 1), 0)
           == jax.lax.broadcasted_iota(jnp.int32, (np_, np_, 1), 1))
-  x_ref[:] = jnp.broadcast_to(eye2, (np_, np_, _LANES)).astype(l_ref.dtype)
+  lanes = l_ref.shape[-1]
+  x_ref[:] = jnp.broadcast_to(eye2, (np_, np_, lanes)).astype(l_ref.dtype)
   for k in range(np_):
     hi = _blk_hi(k, np_)
     inv_diag = 1.0 / jnp.maximum(l_ref[k, k, :], 1e-30)
@@ -88,7 +90,7 @@ def _inv_from_chol_inplace(np_, l_ref, x_ref, inv_ref):
     cl = colL[lo:]
     x_ref[lo:, :hi, :] = x_ref[lo:, :hi, :] - cl[:, None, :] * xk[None, :, :]
     x_ref[k, :hi, :] = xk
-  inv_ref[:] = jnp.zeros((np_, np_, _LANES), l_ref.dtype)
+  inv_ref[:] = jnp.zeros((np_, np_, lanes), l_ref.dtype)
   for k in range(np_):
     hi = _blk_hi(k, np_)
     xk = x_ref[k, :hi, :]

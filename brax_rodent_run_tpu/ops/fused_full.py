@@ -43,7 +43,7 @@ from brax_rodent_run_tpu.physics.types import (
     BiasType, Data, DisableBit, DynType, GainType, JointType, Model,
     SolverType, TrnType)
 
-_LANES = 128
+_LANES = int(os.environ.get("BRR_FF_LANES", "128"))
 _MINIMP = 0.0001
 _MAXIMP = 0.9999
 _MINVAL = 1e-15
@@ -328,7 +328,11 @@ def _cross(a, b):
 
 
 @functools.lru_cache(maxsize=8)
-def _kernel(m: Model, interpret: bool = False):
+def _kernel(m: Model, interpret: bool = False, ablate: str = ""):
+  # ablate: comma-separated section names to skip — PROFILING ONLY,
+  # breaks semantics. Tokens: chol (factor+inverse -> identity), cg
+  # (constraint solve -> qacc_smooth), ls (line search refinement),
+  # damp (implicit damping PCG), front (com/rne/passive/actuation).
   from jax.experimental import pallas as pl
   from jax.experimental.pallas import tpu as pltpu
   from brax_rodent_run_tpu.ops.cholesky import (
@@ -534,9 +538,19 @@ def _kernel(m: Model, interpret: bool = False):
     def mmul0(mat, x):
       return jnp.sum(mat * x[:, None, :], axis=0)
 
-    s_a[:] = qm
-    _chol_inplace(np_, np_, s_a, s_l)
-    _inv_from_chol_inplace(np_, s_l, s_a, s_x)
+    def rsum(x):
+      # row-sum via a 1-row MXU matmul: the VPU cross-sublane reduction
+      # is latency-bound and dominates the CG line search (56 dphi
+      # evals x 2 reductions); the MXU form pipelines.
+      return mxu(jnp.ones((1, x.shape[0]), jnp.float32), x)[0]
+
+    if "chol" in ablate:
+      s_x[:] = (jnp.eye(np_, dtype=jnp.float32)[:, :, None]
+                + jnp.zeros((np_, np_, E), jnp.float32))
+    else:
+      s_a[:] = qm
+      _chol_inplace(np_, np_, s_a, s_l)
+      _inv_from_chol_inplace(np_, s_l, s_a, s_x)
     qminv = s_x[:]
 
     # ================= com_vel / rne =================
@@ -678,13 +692,17 @@ def _kernel(m: Model, interpret: bool = False):
     jc = s_jc[:]
 
     def matvec(x):
+      # PACKED J-space: limit rows then contact rows in ONE (nefc, E)
+      # array — halves the VPU op count of the CG inner loops vs the
+      # per-family tuple form (the line search alone was 1.2 ms of the
+      # 3.7 ms kernel).
       lim = mxu(JLIMv, x)
       con = mxu(CMATv, jnp.sum(jc * x[None, :, :], axis=1))
-      return (lim, con)
+      return jnp.concatenate([lim, con], axis=0)
 
     def rmatvec(f):
-      out = mxu(JLIMv.T, f[0])
-      cb = mxu(CMATv.T, f[1])
+      out = mxu(JLIMv.T, f[:nlimit])
+      cb = mxu(CMATv.T, f[nlimit:])
       return out + jnp.sum(jc * cb[:, None, :], axis=0)
 
     pos_c = mxu(C["RID"][:], cdist)
@@ -698,66 +716,66 @@ def _kernel(m: Model, interpret: bool = False):
                       * CT[:, 5:6], _MINVAL)
     D_c = jnp.where(act_c, 1.0 / R_c, 0.0)
 
-    D = (D_l, D_c)
-    aref = (aref_l, aref_c)
+    D = jnp.concatenate([D_l, D_c], axis=0)
+    aref = jnp.concatenate([aref_l, aref_c], axis=0)
 
-    # ================= primal CG (v1 flow) =================
-    def pmap2(f, a, b):
-      return tuple(f(x, y) for x, y in zip(a, b))
-
-    def psum(a):
-      return sum(jnp.sum(x, axis=0) for x in a)
-
+    # ================= primal CG (packed J-space) =================
     def dterm_of(jar):
-      return pmap2(lambda j, dd: jnp.where(j < 0, dd, 0.0), jar, D)
+      return jnp.where(jar < 0, D, 0.0)
 
-    def cost(x, jar):
+    # Mdx = qm @ (x - qacc_smooth) is maintained INCREMENTALLY
+    # (Mdx += alpha * Mp on accept): cost/grad/pMdx all reuse it, so the
+    # loop needs only 2 mass-matrix matvecs per iteration (qm @ p and
+    # qminv @ grad) instead of 5.
+    def cost(x, jar, dx, Mdx):
       dterm = dterm_of(jar)
-      dx = x - qacc_smooth
-      gauss = 0.5 * jnp.sum(dx * mmul0(qm, dx), axis=0)
-      pen = 0.5 * psum(pmap2(lambda t, j: t * j * j, dterm, jar))
+      gauss = 0.5 * rsum(dx * Mdx)
+      pen = 0.5 * rsum(dterm * jar * jar)
       return gauss + pen, dterm
 
-    def grad_fn(x, jar, dterm):
-      return mmul0(qm, x - qacc_smooth) + rmatvec(
-          pmap2(lambda t, j: t * j, dterm, jar))
+    def grad_fn(Mdx, jar, dterm):
+      return Mdx + rmatvec(dterm * jar)
 
     x = qacc_smooth
-    jar = pmap2(lambda a, b: a - b, matvec(x), aref)
-    cur_cost, dterm = cost(x, jar)
-    g = grad_fn(x, jar, dterm)
+    dx = jnp.zeros_like(x)
+    Mdx = jnp.zeros_like(x)
+    jar = matvec(x) - aref
+    cur_cost, dterm = cost(x, jar, dx, Mdx)
+    g = grad_fn(Mdx, jar, dterm)
     Mg = mmul0(qminv, g)
     p = -Mg
     done = jnp.zeros((1, E), bool)
     prev_g, prev_Mg = g, Mg
 
-    for _ in range(iters):
+    for _ in range(0 if "cg" in ablate else iters):
       Jp = matvec(p)
-      pMp = jnp.sum(p * mmul0(qm, p), axis=0)
-      pMdx = jnp.sum(p * mmul0(qm, x - qacc_smooth), axis=0)
+      Mp = mmul0(qm, p)
+      pMp = rsum(p * Mp)
+      pMdx = rsum(p * Mdx)
 
       def dphi(alpha, jar=jar, Jp=Jp, pMp=pMp, pMdx=pMdx):
-        j = pmap2(lambda a, b: a + alpha[None, :] * b, jar, Jp)
+        j = jar + alpha[None, :] * Jp
         dt_ = dterm_of(j)
-        jJp = pmap2(lambda a, b: a * b, j, Jp)
-        gg = pMdx + alpha * pMp + psum(pmap2(lambda t, u: t * u, dt_, jJp))
-        hh = pMp + psum(pmap2(lambda t, b: t * b * b, dt_, Jp))
+        dJp = dt_ * Jp
+        gg = pMdx + alpha * pMp + rsum(dJp * j)
+        hh = pMp + rsum(dJp * Jp)
         return gg, hh
 
       g0, h0 = dphi(jnp.zeros((E,), jnp.float32))
       alpha = -g0 / jnp.maximum(h0, 1e-15)
-      for _i in range(n_ls):
+      for _i in range(0 if "ls" in ablate else n_ls):
         gg, hh = dphi(alpha)
         alpha = alpha - gg / jnp.maximum(hh, 1e-15)
 
       x_n = x + alpha[None, :] * p
-      jar_n = pmap2(lambda a, b: a + alpha[None, :] * b, jar, Jp)
-      c_n, dterm_n = cost(x_n, jar_n)
-      g_n = grad_fn(x_n, jar_n, dterm_n)
+      dx_n = dx + alpha[None, :] * p
+      Mdx_n = Mdx + alpha[None, :] * Mp
+      jar_n = jar + alpha[None, :] * Jp
+      c_n, dterm_n = cost(x_n, jar_n, dx_n, Mdx_n)
+      g_n = grad_fn(Mdx_n, jar_n, dterm_n)
       Mg_n = mmul0(qminv, g_n)
-      num = (jnp.sum(g_n * Mg_n, axis=0)
-             - jnp.sum(prev_g * Mg_n, axis=0))
-      den = jnp.maximum(jnp.sum(prev_g * prev_Mg, axis=0), 1e-15)
+      num = rsum(g_n * Mg_n) - rsum(prev_g * Mg_n)
+      den = jnp.maximum(rsum(prev_g * prev_Mg), 1e-15)
       beta = jnp.maximum(0.0, num / den)
       p_n = -Mg_n + beta[None, :] * p
       improvement = cur_cost - c_n
@@ -766,7 +784,9 @@ def _kernel(m: Model, interpret: bool = False):
       keep = done
       sel = lambda old, new: jnp.where(keep, old, new)
       x = sel(x, x_n)
-      jar = pmap2(sel, jar, jar_n)
+      dx = sel(dx, dx_n)
+      Mdx = sel(Mdx, Mdx_n)
+      jar = sel(jar, jar_n)
       p = sel(p, p_n)
       prev_g = sel(prev_g, g_n)
       prev_Mg = sel(prev_Mg, Mg_n)
@@ -774,12 +794,12 @@ def _kernel(m: Model, interpret: bool = False):
       done = done_n[None, :]
 
     dterm = dterm_of(jar)
-    force_efc = pmap2(lambda t, j: -t * j, dterm, jar)
+    force_efc = -dterm * jar
     qfrc_constraint = rmatvec(force_efc)
 
     # ================= implicit damping + integration =================
     qacc_int = x
-    if eulerdamp:
+    if eulerdamp and "damp" not in ablate:
       qfrc = qfs + qfrc_constraint
       hb = C["HBD"][:]
 
@@ -790,14 +810,14 @@ def _kernel(m: Model, interpret: bool = False):
       rr = qfrc - mhb(xd)
       z = mmul0(qminv, rr)
       pp = z
-      rz = jnp.sum(rr * z, axis=0)
+      rz = rsum(rr * z)
       for _ in range(6):
         Ap = mhb(pp)
-        alpha = rz / jnp.maximum(jnp.sum(pp * Ap, axis=0), 1e-30)
+        alpha = rz / jnp.maximum(rsum(pp * Ap), 1e-30)
         xd = xd + alpha[None, :] * pp
         rr = rr - alpha[None, :] * Ap
         z = mmul0(qminv, rr)
-        rz_new = jnp.sum(rr * z, axis=0)
+        rz_new = rsum(rr * z)
         pp = z + (rz_new / jnp.maximum(rz, 1e-30))[None, :] * pp
         rz = rz_new
       qacc_int = xd
@@ -843,8 +863,8 @@ def _kernel(m: Model, interpret: bool = False):
     o_qaccs[:] = qacc_smooth
     o_qacc[:] = x
     o_qfc[:] = qfrc_constraint
-    o_flim[:] = force_efc[0]
-    o_fcon[:] = force_efc[1]
+    o_flim[:] = force_efc[:nlimit]
+    o_fcon[:] = force_efc[nlimit:]
     o_qpos[:] = qpos_new
     o_qvel[:] = qvel_new
     o_act[:] = actv + H * act_dot if has_act else actv
@@ -942,7 +962,7 @@ def fused_full_batched(m: Model, qpos, qvel, act, ctrl, qfrc_applied,
           prep(ximat_cm), prep(axj), prep(anj), prep(xfree),
           prep(con_dist), prep(cpos_cm), prep(fr), prep(dummy)]
 
-  out = _kernel(m, FORCE_INTERPRET)(*arrs)
+  out = _kernel(m, FORCE_INTERPRET, os.environ.get("BRR_FF_ABLATE", ""))(*arrs)
   unprep = lambda y: jnp.moveaxis(y, -1, 0)[:B]
   (com, cinr, cdof, cvel, cdofdot, bias, spring, damper, passive,
    alen, avel, afrc, actdot, qfa_out, qfs, qaccs, qacc, qfc,
