@@ -384,11 +384,29 @@ def _kernel(m: Model, interpret: bool = False, ablate: str = ""):
              st.con_incmargin, st.con_iw, st.con_d0, st.con_dmax,
              st.con_width, st.con_mid, st.con_pw)
   EXP3 = np.kron(np.eye(ncon), np.ones((3, 1))).astype(f32)
-  CM2R = padr(EXP3 @ st.cmask2, cols=np_)
-  CM1R = padr(EXP3 @ st.cmask1, cols=np_)
-  body1_zero = st.body1_zero
-  eulerdamp = st.eulerdamp
   lay = efc_layout(m)
+  body1_zero = st.body1_zero
+  # factorized contact jacobian: jc[(c,d), v] = sum_k coef_k[(c,d)] *
+  # cdof_k[v] * mask_{body2(c)}[v] (minus the body1 side). The per-body
+  # dof masks are shared across contacts, so the jc contractions in the
+  # CG become tiny MXU matmuls through (nb2, np_) mask and (nc3, nb2)
+  # gather tables instead of (nc3, np_, E) VPU sweeps.
+  from brax_rodent_run_tpu.physics.tree import masks as _tree_masks
+  _mk = _tree_masks(m)
+  _bda = np.asarray(_mk.body_dof_ancestor, np.float64)
+  ub2 = np.unique(lay.con_body2)
+  MASKB2 = padr(_bda[ub2], cols=np_)                       # (nb2, np_)
+  GB2 = np.zeros((nc3, len(ub2)), f32)
+  _idx2 = np.searchsorted(ub2, lay.con_body2)
+  for _c in range(ncon):
+    GB2[3 * _c:3 * _c + 3, _idx2[_c]] = 1.0
+  ub1 = np.unique(lay.con_body1)
+  MASKB1 = padr(_bda[ub1], cols=np_)
+  GB1 = np.zeros((nc3, len(ub1)), f32)
+  _idx1 = np.searchsorted(ub1, lay.con_body1)
+  for _c in range(ncon):
+    GB1[3 * _c:3 * _c + 3, _idx1[_c]] = 1.0
+  eulerdamp = st.eulerdamp
   # contact-point root body one-hots (rel vectors computed in kernel)
   CB2 = np.zeros((ncon, nbody), f32)
   CB2[np.arange(ncon), np.asarray(m.body_rootid)[lay.con_body2]] = 1.0
@@ -396,14 +414,15 @@ def _kernel(m: Model, interpret: bool = False, ablate: str = ""):
   CB1[np.arange(ncon), np.asarray(m.body_rootid)[lay.con_body1]] = 1.0
 
   HBD = padr((H * st.dof_damping)[:, None], rows=np_)
+  ARMAC = padr(np.asarray(st.armature)[:, None], rows=np_)
   DAMP = st2.DAMP.astype(f32)
   all_pw2 = bool(np.all(st.lim_pw == 2.0) and np.all(st.con_pw == 2.0))
 
   consts = {
       "DS": DS, "QMU": QMU, "QML": QML, "ARMAD": ARMAD, "JLIM": JLIM,
       "QSEL": QSEL, "CMAT": CMAT, "RID": RID, "LTAB": LTAB, "CTAB": CTAB,
-      "HBD": HBD, "EXP3": EXP3, "CM2R": CM2R, "CM1R": CM1R,
-      "CB2": CB2, "CB1": CB1,
+      "HBD": HBD, "ARMAC": ARMAC, "EXP3": EXP3, "MASKB2": MASKB2, "GB2": GB2,
+      "MASKB1": MASKB1, "GB1": GB1, "CB2": CB2, "CB1": CB1,
       "SUB": st2.SUB.astype(f32), "ROOT": st2.ROOT.astype(f32),
       "ANC": st2.ANC.astype(f32), "CDM": st2.CDM.astype(f32),
       "DOFSEL": st2.DOFSEL.astype(f32), "BTAB": st2.BTAB.astype(f32),
@@ -419,7 +438,7 @@ def _kernel(m: Model, interpret: bool = False, ablate: str = ""):
       "QMASKC": st2.QMASKC.astype(f32),
   }
   if body1_zero:
-    del consts["CM1R"], consts["CB1"]
+    del consts["MASKB1"], consts["GB1"], consts["CB1"]
   cnames = list(consts.keys())
   cvals = [consts[k] for k in cnames]
 
@@ -438,7 +457,7 @@ def _kernel(m: Model, interpret: bool = False, ablate: str = ""):
     (o_com, o_cin, o_cdof, o_cvel, o_cdofdot, o_bias, o_spring, o_damper,
      o_passive, o_alen, o_avel, o_afrc, o_actdot, o_qfa, o_qfs, o_qaccs,
      o_qacc, o_qfc, o_flim, o_fcon, o_qpos, o_qvel, o_act) = outs
-    s_a, s_l, s_x, s_jc = refs[len(cnames) + n_in + len(out_rows):]
+    s_a, s_l, s_x = refs[len(cnames) + n_in + len(out_rows):]
 
     def mxu(a, b):
       return jax.lax.dot_general(a, b, (((1,), (0,)), ((), ())),
@@ -590,6 +609,20 @@ def _kernel(m: Model, interpret: bool = False, ablate: str = ""):
     qfrc_bias = sum(cdof[c] * mxu(C["DOFSEL"][:], tot[c])
                     for c in range(6))
 
+    def crb_mul(x):
+      """M @ x via the CRB identity (spread -> body inertia ->
+      subtree-accumulate -> project), all small MXU matmuls — exactly
+      the composite-inertia mass matrix (plus armature), without
+      touching the materialized (np_, np_, E) qm. Valid for vectors
+      with zero padding rows (all CG vectors)."""
+      u = [mxu(C["ANC"][:], cdof[c] * x) for c in range(6)]
+      fb = inert_mul(u)
+      gs = [mxu(C["SUB"][:], fb[c]) for c in range(6)]
+      y = cdof[0] * mxu(C["DOFSEL"][:], gs[0])
+      for c in range(1, 6):
+        y = y + cdof[c] * mxu(C["DOFSEL"][:], gs[c])
+      return y + C["ARMAC"][:] * x
+
     # ================= passive =================
     qfrc_spring = mxu(C["KSEL"][:], qpos) + C["KCONST"][:]
     qfrc_damper = -C["DAMP"][:] * qvel
@@ -664,15 +697,9 @@ def _kernel(m: Model, interpret: bool = False, ablate: str = ""):
     gxr = ey * fz - ez * fy
     gyr = ez * fx - ex * fz
     gzr = ex * fy - ey * fx
-    s_jc[:] = (fx[:, None, :] * v[0][None, :, :]
-               + fy[:, None, :] * v[1][None, :, :]
-               + fz[:, None, :] * v[2][None, :, :]
-               + gxr[:, None, :] * w[0][None, :, :]
-               + gyr[:, None, :] * w[1][None, :, :]
-               + gzr[:, None, :] * w[2][None, :, :])
-    if body1_zero:
-      s_jc[:] = s_jc[:] * C["CM2R"][:][:, :, None]
-    else:
+    coefs2 = (fx, fy, fz, gxr, gyr, gzr)
+    cdof6 = (v[0], v[1], v[2], w[0], w[1], w[2])
+    if not body1_zero:
       rel1 = [cposc[c] - mxu(C["CB1"][:], com[c]) for c in range(3)]
       e1x = mxu(EXPv, rel1[0])
       e1y = mxu(EXPv, rel1[1])
@@ -680,33 +707,46 @@ def _kernel(m: Model, interpret: bool = False, ablate: str = ""):
       g1x = e1y * fz - e1z * fy
       g1y = e1z * fx - e1x * fz
       g1z = e1x * fy - e1y * fx
-      jc1 = (fx[:, None, :] * v[0][None, :, :]
-             + fy[:, None, :] * v[1][None, :, :]
-             + fz[:, None, :] * v[2][None, :, :]
-             + g1x[:, None, :] * w[0][None, :, :]
-             + g1y[:, None, :] * w[1][None, :, :]
-             + g1z[:, None, :] * w[2][None, :, :])
-      s_jc[:] = (s_jc[:] * C["CM2R"][:][:, :, None]
-                 - jc1 * C["CM1R"][:][:, :, None])
+      coefs1 = (fx, fy, fz, g1x, g1y, g1z)
 
-    jc = s_jc[:]
+    def conmat(x):
+      """base-jacobian rows times x: (nc3, E), via the factorized form."""
+      acc = None
+      for coef, cd in zip(coefs2, cdof6):
+        t = mxu(C["GB2"][:], mxu(C["MASKB2"][:], cd * x))
+        acc = coef * t if acc is None else acc + coef * t
+      if not body1_zero:
+        for coef, cd in zip(coefs1, cdof6):
+          acc = acc - coef * mxu(C["GB1"][:],
+                                 mxu(C["MASKB1"][:], cd * x))
+      return acc
+
+    def conmat_t(cb):
+      """transpose: (nc3, E) row loads -> dof space (np_, E)."""
+      z = None
+      for coef, cd in zip(coefs2, cdof6):
+        t = mxu(C["MASKB2"][:].T, mxu(C["GB2"][:].T, coef * cb))
+        z = cd * t if z is None else z + cd * t
+      if not body1_zero:
+        for coef, cd in zip(coefs1, cdof6):
+          z = z - cd * mxu(C["MASKB1"][:].T,
+                           mxu(C["GB1"][:].T, coef * cb))
+      return z
 
     def matvec(x):
       # PACKED J-space: limit rows then contact rows in ONE (nefc, E)
-      # array — halves the VPU op count of the CG inner loops vs the
-      # per-family tuple form (the line search alone was 1.2 ms of the
-      # 3.7 ms kernel).
+      # array — single-op CG inner loops.
       lim = mxu(JLIMv, x)
-      con = mxu(CMATv, jnp.sum(jc * x[None, :, :], axis=1))
+      con = mxu(CMATv, conmat(x))
       return jnp.concatenate([lim, con], axis=0)
 
     def rmatvec(f):
       out = mxu(JLIMv.T, f[:nlimit])
       cb = mxu(CMATv.T, f[nlimit:])
-      return out + jnp.sum(jc * cb[:, None, :], axis=0)
+      return out + conmat_t(cb)
 
     pos_c = mxu(C["RID"][:], cdist)
-    vel_c = mxu(CMATv, jnp.sum(jc * qvel[None, :, :], axis=1))
+    vel_c = mxu(CMATv, conmat(qvel))
     imp_c = impedance(pos_c, CT[:, 3:4], CT[:, 6:7], CT[:, 7:8],
                       CT[:, 8:9], CT[:, 9:10], CT[:, 10:11])
     aref_c = (-CT[:, 2:3] * vel_c
@@ -749,7 +789,7 @@ def _kernel(m: Model, interpret: bool = False, ablate: str = ""):
 
     for _ in range(0 if "cg" in ablate else iters):
       Jp = matvec(p)
-      Mp = mmul0(qm, p)
+      Mp = crb_mul(p)
       pMp = rsum(p * Mp)
       pMdx = rsum(p * Mdx)
 
@@ -804,7 +844,7 @@ def _kernel(m: Model, interpret: bool = False, ablate: str = ""):
       hb = C["HBD"][:]
 
       def mhb(y):
-        return mmul0(qm, y) + hb * y
+        return crb_mul(y) + hb * y
 
       xd = mmul0(qminv, qfrc)
       rr = qfrc - mhb(xd)
@@ -897,8 +937,7 @@ def _kernel(m: Model, interpret: bool = False, ablate: str = ""):
         out_specs=tuple(spec(r) for r in out_rows),
         scratch_shapes=[pltpu.VMEM((np_, np_, E), jnp.float32),
                         pltpu.VMEM((np_, np_, E), jnp.float32),
-                        pltpu.VMEM((np_, np_, E), jnp.float32),
-                        pltpu.VMEM((nc3, np_, E), jnp.float32)],
+                        pltpu.VMEM((np_, np_, E), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=128 * 1024 * 1024),
         interpret=interpret,
