@@ -26,11 +26,17 @@ Policy = Callable[[jax.Array, jax.Array], Tuple[jax.Array, Dict[str, Any]]]
 
 @struct.dataclass
 class Transition:
+  """Rollout step data. The successor observation is NOT stored per
+  step: PPO's GAE only bootstraps from the LAST next-observation of
+  each unroll sequence (losses.compute_ppo_loss takes it separately as
+  ``final_observation``). Dropping the per-step copy halves rollout
+  buffer memory — the difference between the reference's 1024-envs/GPU
+  batch fitting on a 16 GB chip or not (cf. readme.md:33's A40 caveat).
+  """
   observation: jax.Array
   action: jax.Array
   reward: jax.Array
   discount: jax.Array
-  next_observation: jax.Array
   extras: Dict[str, Any]
 
 
@@ -44,7 +50,6 @@ def actor_step(env: Env, state: State, policy: Policy, key: jax.Array,
       action=action,
       reward=nstate.reward,
       discount=1.0 - nstate.done,
-      next_observation=nstate.obs,
       extras={"policy_extras": policy_extras,
               "state_extras": state_extras},
   )

@@ -60,6 +60,7 @@ def compute_ppo_loss(
     params: PPONetworkParams,
     normalizer_state: rs.RunningStatisticsState,
     data: Transition,
+    final_observation: jax.Array,
     rng: jax.Array,
     networks: PPONetworks,
     entropy_cost: float = 1e-4,
@@ -69,7 +70,9 @@ def compute_ppo_loss(
     clipping_epsilon: float = 0.3,
     normalize_advantage: bool = True,
 ) -> Tuple[jax.Array, Dict[str, Any]]:
-  """data leaves are (B, T, ...); loss averaged over the minibatch."""
+  """data leaves are (B, T, ...); final_observation is (B, obs) — the
+  successor observation of each sequence's last step (the only one GAE
+  bootstraps from). Loss averaged over the minibatch."""
   # put time first: (T, B, ...)
   data = jax.tree_util.tree_map(lambda x: jnp.swapaxes(x, 0, 1), data)
 
@@ -78,8 +81,8 @@ def compute_ppo_loss(
   policy_logits = networks.policy_logits(params.policy, norm_obs)
   baseline = networks.value(params.value, norm_obs)
 
-  # bootstrap from the last next_observation
-  norm_last = rs.normalize(data.next_observation[-1], normalizer_state)
+  # bootstrap from the sequence-final successor observation
+  norm_last = rs.normalize(final_observation, normalizer_state)
   bootstrap_value = networks.value(params.value, norm_last)
 
   rewards = data.reward * reward_scaling

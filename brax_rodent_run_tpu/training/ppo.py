@@ -138,11 +138,12 @@ def train(
       normalize_advantage=normalize_advantage)
 
   # ---------------------------------------------------------------- sgd
-  def minibatch_step(carry, data: acting.Transition):
+  def minibatch_step(carry, batch):
+    data, final_obs = batch
     optimizer_state, params, normalizer_state, key = carry
     key, loss_key = jax.random.split(key)
     (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-        params, normalizer_state, data, loss_key)
+        params, normalizer_state, data, final_obs, loss_key)
     grads = jax.lax.pmean(grads, _AXIS)
     updates, optimizer_state = optimizer.update(grads, optimizer_state,
                                                 params)
@@ -153,7 +154,8 @@ def train(
     optimizer_state, params, normalizer_state, data, key = carry
     key, perm_key, step_key = jax.random.split(key, 3)
 
-    # shuffle local sequences, split into local minibatches
+    # shuffle local sequences, split into local minibatches (the
+    # (data, final_obs) tuple shuffles as one tree: same permutation)
     def shuffle(x):
       x = jax.random.permutation(perm_key, x)
       return x.reshape((num_minibatches, -1) + x.shape[1:])
@@ -178,14 +180,18 @@ def train(
       nstate, data = acting.generate_unroll(
           env, state, policy, uk, unroll_length,
           extra_fields=("truncation",))
-      return (nstate, k), data
+      # nstate.obs IS the successor observation of the unroll's last
+      # step (identical to what a per-step next_observation would have
+      # recorded there, including the auto-reset quirk on done)
+      return (nstate, k), (data, nstate.obs)
 
-    (env_state, _), data = jax.lax.scan(
+    (env_state, _), (data, final_obs) = jax.lax.scan(
         rollout, (env_state, unroll_key), (), length=num_unrolls)
     # (num_unrolls, T, E_local, ...) -> (num_unrolls*E_local, T, ...)
     data = jax.tree_util.tree_map(lambda x: jnp.swapaxes(x, 1, 2), data)
     data = jax.tree_util.tree_map(
         lambda x: x.reshape((-1,) + x.shape[2:]), data)
+    final_obs = final_obs.reshape((-1,) + final_obs.shape[2:])
 
     normalizer_state = rs.update(ts.normalizer_state,
                                  data.observation.reshape((-1, obs_size)),
@@ -193,7 +199,8 @@ def train(
 
     (optimizer_state, params, _, _, _), sgd_metrics = jax.lax.scan(
         sgd_epoch,
-        (ts.optimizer_state, ts.params, normalizer_state, data, sgd_key),
+        (ts.optimizer_state, ts.params, normalizer_state,
+         (data, final_obs), sgd_key),
         (), length=num_updates_per_batch)
 
     new_ts = TrainingState(

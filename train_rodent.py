@@ -47,6 +47,11 @@ def synthetic_walk_qpos(model, n_frames: int = 250,
   qpos = np.tile(np.asarray(model.qpos0, np.float64), (n_frames, 1))
   t = np.arange(n_frames)[:, None]
   qpos[:, 0:1] = qpos[:, 0:1] + speed * t
+  # stand the walker at a healthy height: qpos0 has the root at z=0,
+  # but the tracking reset places the root AT the clip position and the
+  # task terminates below z=0.03 (Rodent_Env_Brax.py:28) — real stac
+  # clips ride at ~0.05-0.07 m
+  qpos[:, 2] = np.maximum(qpos[:, 2], 0.06)
   phase = 2.0 * np.pi * t / 25.0
   osc = 0.05 * np.sin(phase + np.arange(max(model.nq - 7, 0))[None] * 0.7)
   qpos[:, 7:] = qpos[:, 7:] + osc
