@@ -327,3 +327,86 @@ def test_fused_full_core_matches_pipeline():
   for name, a, b in zip(_FF_NAMES, out, want):
     np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                rtol=1e-5, atol=1e-5, err_msg=name)
+
+
+@pytest.mark.parametrize("name", ["rodent_new.xml", "humanoid.xml"])
+def test_fk_kernel_matches_stage(name):
+  """In-kernel FK emitter (interpret mode) == smooth.kinematics."""
+  import mujoco
+  from tests.conftest import model_path
+  from brax_rodent_run_tpu.mjcf.from_mj import from_mj_model
+  from brax_rodent_run_tpu.ops import fk as fk_mod
+  from brax_rodent_run_tpu.physics import smooth
+  from brax_rodent_run_tpu.physics.types import make_data
+
+  m = from_mj_model(mujoco.MjModel.from_xml_path(model_path(name)))
+  B = 128
+  key = jax.random.PRNGKey(0)
+  qpos = jnp.tile(jnp.asarray(m.qpos0, jnp.float32), (B, 1)) + \
+      jax.random.uniform(key, (B, m.nq), jnp.float32, -0.2, 0.2)
+
+  d0 = make_data(m, dtype=jnp.float32)
+  ref = jax.jit(jax.vmap(
+      lambda q: smooth.kinematics(m, d0.replace(qpos=q))))(qpos)
+
+  out = fk_mod.fk_test_kernel(m, interpret=True)(
+      jnp.transpose(qpos))
+  nb, njp = m.nbody, max(m.njnt, 1)
+
+  def unpack(y, ncomp, n):
+    return jnp.swapaxes(
+        jnp.moveaxis(y, -1, 0).reshape(B, ncomp, n), -1, -2)
+
+  xpos = unpack(out[0], 3, nb)
+  xquat = unpack(out[1], 4, nb)
+  xanchor = unpack(out[2], 3, njp)[:, :m.njnt]
+  xaxis = unpack(out[3], 3, njp)[:, :m.njnt]
+  np.testing.assert_allclose(np.asarray(xpos), np.asarray(ref.xpos),
+                             rtol=1e-4, atol=1e-5, err_msg="xpos")
+  np.testing.assert_allclose(np.asarray(xquat), np.asarray(ref.xquat),
+                             rtol=1e-4, atol=1e-5, err_msg="xquat")
+  np.testing.assert_allclose(np.asarray(xanchor), np.asarray(ref.xanchor),
+                             rtol=1e-4, atol=1e-5, err_msg="xanchor")
+  np.testing.assert_allclose(np.asarray(xaxis), np.asarray(ref.xaxis),
+                             rtol=1e-4, atol=1e-5, err_msg="xaxis")
+
+
+@pytest.mark.parametrize("name", ["rodent_new.xml", "humanoid.xml"])
+def test_collision_kernel_matches_stage(name):
+  """In-kernel FK + narrow-phase emitters (interpret) == kinematics +
+  collision stages."""
+  import mujoco
+  from tests.conftest import model_path
+  from brax_rodent_run_tpu.mjcf.from_mj import from_mj_model
+  from brax_rodent_run_tpu.ops import coll as coll_mod
+  from brax_rodent_run_tpu.physics import collision, smooth
+  from brax_rodent_run_tpu.physics.types import make_data
+
+  m = from_mj_model(mujoco.MjModel.from_xml_path(model_path(name)))
+  assert coll_mod.collision_supported(m)
+  B = 128
+  key = jax.random.PRNGKey(1)
+  qpos = jnp.tile(jnp.asarray(m.qpos0, jnp.float32), (B, 1)) + \
+      jax.random.uniform(key, (B, m.nq), jnp.float32, -0.1, 0.1)
+
+  d0 = make_data(m, dtype=jnp.float32)
+  ref = jax.jit(jax.vmap(lambda q: collision.collision(
+      m, smooth.kinematics(m, d0.replace(qpos=q)))))(qpos)
+
+  out = coll_mod.coll_test_kernel(m, interpret=True)(jnp.transpose(qpos))
+  ncon = m.ncon_max
+  cdist = jnp.moveaxis(out[0], -1, 0)
+  cpos = jnp.swapaxes(jnp.moveaxis(out[1], -1, 0).reshape(B, 3, ncon),
+                      -1, -2)
+  # frame comps k of rows (c, d) -> (B, ncon, d, k)
+  fr = jnp.moveaxis(out[2], -1, 0).reshape(B, 3, ncon, 3)
+  fr = jnp.transpose(fr, (0, 2, 3, 1))
+  np.testing.assert_allclose(np.asarray(cdist),
+                             np.asarray(ref.contact.dist),
+                             rtol=1e-4, atol=1e-5, err_msg="dist")
+  np.testing.assert_allclose(np.asarray(cpos),
+                             np.asarray(ref.contact.pos),
+                             rtol=1e-4, atol=1e-5, err_msg="pos")
+  np.testing.assert_allclose(np.asarray(fr),
+                             np.asarray(ref.contact.frame),
+                             rtol=1e-4, atol=1e-5, err_msg="frame")
