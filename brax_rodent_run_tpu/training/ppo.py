@@ -211,20 +211,33 @@ def train(
     return (new_ts, env_state, new_key), metrics
 
   # ------------------------------------------------------ training epoch
+  # ONE training step per XLA execution, host loop over the epoch's
+  # steps. A device-side lax.scan over training steps compiles to a
+  # single multi-second execution; on single-chip tunnel deployments
+  # (axon) executions that long crash the TPU worker, and the host loop
+  # costs only ~ms of dispatch per ~1.3 s step. Math is identical: the
+  # scan carried (ts, env_state, key) exactly as the loop does.
   @functools.partial(
       shard_map, mesh=mesh,
       in_specs=(P(), P(_AXIS), P()),
       out_specs=(P(), P(_AXIS), P()),
       check_vma=False)
-  def training_epoch(ts: TrainingState, env_state, key: jax.Array):
+  def one_training_step(ts: TrainingState, env_state, key: jax.Array):
     key = jax.random.fold_in(key, jax.lax.axis_index(_AXIS))
-    (ts, env_state, _), metrics = jax.lax.scan(
-        training_step, (ts, env_state, key), (),
-        length=num_training_steps_per_epoch)
+    (ts, env_state, _), metrics = training_step((ts, env_state, key), None)
     metrics = jax.lax.pmean(jax.tree_util.tree_map(jnp.mean, metrics), _AXIS)
     return ts, env_state, metrics
 
-  training_epoch = jax.jit(training_epoch, donate_argnums=(1,))
+  one_training_step = jax.jit(one_training_step, donate_argnums=(1,))
+
+  def training_epoch(ts: TrainingState, env_state, key: jax.Array):
+    ms = []
+    for i in range(num_training_steps_per_epoch):
+      ts, env_state, metrics = one_training_step(
+          ts, env_state, jax.random.fold_in(key, i))
+      ms.append(metrics)
+    return ts, env_state, jax.tree_util.tree_map(
+        lambda *xs: jnp.mean(jnp.stack(xs)), *ms)
 
   # ---------------------------------------------------------------- init
   key = jax.random.PRNGKey(seed)
