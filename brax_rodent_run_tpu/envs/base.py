@@ -88,6 +88,11 @@ class Env(abc.ABC):
     # every substep's sensors read that substep's own forward products).
     data = data.replace(ctrl=jnp.asarray(action, self._dtype))
 
+    from brax_rodent_run_tpu.ops import fused_full as ff
+    if ff.eligible_steps(self._model):
+      # whole control step in one Pallas kernel (substep loop in-kernel)
+      return fwd.pipeline_steps_fused(self._model, data, self._n_frames)
+
     def substep(d, _):
       return fwd.step(self._model, d, sensors=False), ()
 

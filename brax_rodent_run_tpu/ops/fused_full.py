@@ -328,16 +328,35 @@ def _cross(a, b):
 
 
 @functools.lru_cache(maxsize=8)
-def _kernel(m: Model, interpret: bool = False, ablate: str = ""):
-  # ablate: comma-separated section names to skip — PROFILING ONLY,
-  # breaks semantics. Tokens: chol (factor+inverse -> identity), cg
-  # (constraint solve -> qacc_smooth), ls (line search refinement),
-  # damp (implicit damping PCG), front (com/rne/passive/actuation).
-  from jax.experimental import pallas as pl
-  from jax.experimental.pallas import tpu as pltpu
-  from brax_rodent_run_tpu.ops.cholesky import (
-      _chol_inplace, _inv_from_chol_inplace)
+def _scalars(m: Model):
+  """Compile-time scalar envelope shared by the kernel factories."""
+  import types
+  st2 = statics2(m)
+  st = st2.v1
+  n = types.SimpleNamespace()
+  n.nv, n.nq, n.nbody = st.nv, st.nq, st.nbody
+  n.ncon, n.nlimit, n.ncr = st.ncon, st.nlimit, st.ncr
+  n.nc3 = 3 * n.ncon
+  n.np_ = _round_up(n.nv, 8)
+  n.nu, n.na_p = m.nu, st2.na_p
+  n.Js = st2.PSC.shape[1]
+  n.iters = int(m.opt.iterations)
+  n.n_ls = max(int(m.opt.ls_iterations) - 1, 0)
+  n.tol = float(m.opt.tolerance) * float(max(n.nv, 1))
+  n.H = float(st.h)
+  n.has_free = st2.free_j >= 0
+  n.has_act = m.na > 0
+  n.gravity = st2.gravity
+  n.body1_zero = st.body1_zero
+  n.eulerdamp = st.eulerdamp
+  n.all_pw2 = bool(np.all(st.lim_pw == 2.0) and np.all(st.con_pw == 2.0))
+  return n
 
+
+@functools.lru_cache(maxsize=8)
+def _build_consts(m: Model):
+  """All static VMEM tables for the fused kernels (dynamics + FK +
+  collision emitters). Returns (names, values)."""
   st2 = statics2(m)
   st = st2.v1
   nv, nq, nbody = st.nv, st.nq, st.nbody
@@ -439,8 +458,513 @@ def _kernel(m: Model, interpret: bool = False, ablate: str = ""):
   }
   if body1_zero:
     del consts["MASKB1"], consts["GB1"], consts["CB1"]
-  cnames = list(consts.keys())
-  cvals = [consts[k] for k in cnames]
+
+  # joint-output gathers + body inertial-frame tables for the v3 kernel
+  njp = max(m.njnt, 1)
+  SJG = np.zeros((Js, njp), f32)
+  if len(st2.js):
+    SJG[np.arange(len(st2.js)), np.asarray(st2.js)] = 1.0
+  consts["SJG"] = SJG
+  BT2 = np.zeros((nbody, 16), f32)
+  BT2[:, 0:3] = np.asarray(m.body_ipos)
+  BT2[:, 3:7] = np.asarray(m.body_iquat)
+  consts["BT2"] = BT2
+  from brax_rodent_run_tpu.ops import coll as coll_mod
+  from brax_rodent_run_tpu.ops import fk as fk_mod
+  if coll_mod.collision_supported(m):
+    consts.update(fk_mod.fk_consts(m))
+    consts.update(coll_mod.coll_consts(m))
+  cnames = tuple(consts.keys())
+  return cnames, tuple(consts[k] for k in cnames)
+
+
+_DYN_OUT = ("com", "cin", "cdof", "cvel", "cdof_dot", "qfrc_bias",
+            "qfrc_spring", "qfrc_damper", "qfrc_passive", "alen", "avel",
+            "force", "act_dot", "qfrc_actuator", "qfs", "qacc_smooth",
+            "qacc", "qfrc_constraint", "force_efc", "qpos_new",
+            "qvel_new", "act_new")
+
+
+def _write_outputs(outs, vals, nlimit):
+  """Write _emit_dynamics products to the kernel output refs (the
+  force_efc row split mirrors the packed limit+contact layout)."""
+  (com, cin, cdof, cvel, cdof_dot, qfrc_bias, qfrc_spring, qfrc_damper,
+   qfrc_passive, alen, avel, force, act_dot, qfrc_actuator, qfs,
+   qacc_smooth, qacc, qfrc_constraint, force_efc, qpos_new, qvel_new,
+   act_new) = vals
+  (o_com, o_cin, o_cdof, o_cvel, o_cdofdot, o_bias, o_spring, o_damper,
+   o_passive, o_alen, o_avel, o_afrc, o_actdot, o_qfa, o_qfs, o_qaccs,
+   o_qacc, o_qfc, o_flim, o_fcon, o_qpos, o_qvel, o_act) = outs
+  o_com[:] = jnp.concatenate(com, axis=0)
+  o_cin[:] = jnp.concatenate(cin, axis=0)
+  o_cdof[:] = jnp.concatenate(cdof, axis=0)
+  o_cvel[:] = jnp.concatenate(cvel, axis=0)
+  o_cdofdot[:] = jnp.concatenate(cdof_dot, axis=0)
+  o_bias[:] = qfrc_bias
+  o_spring[:] = qfrc_spring
+  o_damper[:] = qfrc_damper
+  o_passive[:] = qfrc_passive
+  o_alen[:] = alen
+  o_avel[:] = avel
+  o_afrc[:] = force
+  o_actdot[:] = act_dot
+  o_qfa[:] = qfrc_actuator
+  o_qfs[:] = qfs
+  o_qaccs[:] = qacc_smooth
+  o_qacc[:] = qacc
+  o_qfc[:] = qfrc_constraint
+  o_flim[:] = force_efc[:nlimit]
+  o_fcon[:] = force_efc[nlimit:]
+  o_qpos[:] = qpos_new
+  o_qvel[:] = qvel_new
+  o_act[:] = act_new
+
+
+def _emit_dynamics(m: Model, ablate: str, C, scr, qpos, qvel, actv, ctrl,
+                   qfa, xip, R, axj, anj, xfree, cdist, cposc, frame):
+  """The complete post-(kinematics+collision) substep on component-slice
+  arrays: com_pos -> CRB -> factor/invert -> com_vel/rne -> passive ->
+  actuation -> constraint rows -> CG -> implicit damping -> integration.
+  ``C`` maps const names to refs OR plain arrays (``x[:]`` reads both).
+  Returns the _DYN_OUT tuple."""
+  from brax_rodent_run_tpu.ops.cholesky import (
+      _chol_inplace, _inv_from_chol_inplace)
+  st2 = statics2(m)
+  sc = _scalars(m)
+  nbody, Js, np_, ncon, nc3 = sc.nbody, sc.Js, sc.np_, sc.ncon, sc.nc3
+  nlimit, iters, n_ls, tol = sc.nlimit, sc.iters, sc.n_ls, sc.tol
+  H, has_free, has_act = sc.H, sc.has_free, sc.has_act
+  gx, gy, gz = sc.gravity
+  body1_zero, eulerdamp, all_pw2 = sc.body1_zero, sc.eulerdamp, sc.all_pw2
+  E = qpos.shape[-1]
+
+  def mxu(a, b):
+    return jax.lax.dot_general(a, b, (((1,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+
+  BT = C["BTAB"][:]
+  # ================= com_pos =================
+  mass = BT[:, 0:1]
+  moment = [mass * xip[c] for c in range(3)]
+  com = [mxu(C["SUB"][:], moment[c]) * BT[:, 1:2] for c in range(3)]
+  rootcom = [mxu(C["ROOT"][:], com[c]) for c in range(3)]
+  off = [xip[c] - rootcom[c] for c in range(3)]
+  dsq = off[0] * off[0] + off[1] * off[1] + off[2] * off[2]
+  Id = [BT[:, 2 + j:3 + j] for j in range(3)]
+
+  def iw(a, b):
+    return sum(Id[j] * R[a][j] * R[b][j] for j in range(3))
+
+  cin = [iw(0, 0) + mass * (dsq - off[0] * off[0]),
+         iw(1, 1) + mass * (dsq - off[1] * off[1]),
+         iw(2, 2) + mass * (dsq - off[2] * off[2]),
+         iw(0, 1) - mass * off[0] * off[1],
+         iw(0, 2) - mass * off[0] * off[2],
+         iw(1, 2) - mass * off[1] * off[2],
+         mass * off[0], mass * off[1], mass * off[2],
+         mass * jnp.ones_like(dsq)]
+
+  # ================= cdof =================
+  oj = [mxu(C["OB"][:], com[c]) for c in range(3)]
+  rel = [oj[c] - anj[c] for c in range(3)]
+  linh = _cross(axj, rel)
+  hs = C["HSG"][:]
+  angj = [hs * axj[c] for c in range(3)]
+  linj = [hs * linh[c] + (1.0 - hs) * axj[c] for c in range(3)]
+  cdof = [mxu(C["PSC"][:], angj[c]) for c in range(3)] + \
+         [mxu(C["PSC"][:], linj[c]) for c in range(3)]
+  if has_free:
+    xpb, xm = xfree
+    rb = st2.frootb
+    of = [com[c][rb:rb + 1] - xpb[c] for c in range(3)]
+    one = jnp.ones_like(xpb[0])
+    zero = jnp.zeros_like(xpb[0])
+    frows = []
+    for c in range(3):          # ang comps: trans rows 0, rot = axes
+      axesc = [xm[c][0], xm[c][1], xm[c][2]]   # axes_k comp c = xmat[c,k]
+      frows.append(jnp.concatenate([zero, zero, zero] + axesc, axis=0))
+    for c in range(3):          # lin comps
+      lrows = []
+      for k in range(3):
+        lrows.append(one if c == k else zero)
+      for k in range(3):
+        axk = [xm[0][k], xm[1][k], xm[2][k]]
+        lr = _cross(axk, of)
+        lrows.append(lr[c])
+      frows.append(jnp.concatenate(lrows, axis=0))
+    for c in range(6):
+      cdof[c] = cdof[c] + mxu(C["PFREE"][:], frows[c])
+  w = cdof[0:3]
+  v = cdof[3:6]
+
+  # ================= CRB mass matrix (v1 flow, cinert from VMEM) ====
+  DSv = C["DS"][:]
+  crbd = [mxu(DSv, cin[c]) for c in range(10)]
+  ixx, iyy, izz, ixy, ixz, iyz = crbd[0:6]
+  cmx, cmy, cmz, bmass = crbd[6], crbd[7], crbd[8], crbd[9]
+  F = [
+      ixx * w[0] + ixy * w[1] + ixz * w[2] + cmy * v[2] - cmz * v[1],
+      ixy * w[0] + iyy * w[1] + iyz * w[2] + cmz * v[0] - cmx * v[2],
+      ixz * w[0] + iyz * w[1] + izz * w[2] + cmx * v[1] - cmy * v[0],
+      bmass * v[0] - (cmy * w[2] - cmz * w[1]),
+      bmass * v[1] - (cmz * w[0] - cmx * w[2]),
+      bmass * v[2] - (cmx * w[1] - cmy * w[0]),
+  ]
+  up = cdof[0][:, None, :] * F[0][None, :, :]
+  lo = F[0][:, None, :] * cdof[0][None, :, :]
+  for k in range(1, 6):
+    up = up + cdof[k][:, None, :] * F[k][None, :, :]
+    lo = lo + F[k][:, None, :] * cdof[k][None, :, :]
+  qm = (up * C["QMU"][:][:, :, None]
+        + lo * C["QML"][:][:, :, None]
+        + C["ARMAD"][:][:, :, None])
+
+  def mmul0(mat, x):
+    return jnp.sum(mat * x[:, None, :], axis=0)
+
+  def rsum(x):
+    # row-sum via a 1-row MXU matmul: the VPU cross-sublane reduction
+    # is latency-bound and dominates the CG line search (56 dphi
+    # evals x 2 reductions); the MXU form pipelines.
+    return mxu(jnp.ones((1, x.shape[0]), jnp.float32), x)[0]
+
+  if "chol" in ablate:
+    scr[2][:] = (jnp.eye(np_, dtype=jnp.float32)[:, :, None]
+              + jnp.zeros((np_, np_, E), jnp.float32))
+  else:
+    scr[0][:] = qm
+    _chol_inplace(np_, np_, scr[0], scr[1])
+    _inv_from_chol_inplace(np_, scr[1], scr[0], scr[2])
+  qminv = scr[2][:]
+
+  # ================= com_vel / rne =================
+  scaled = [cdof[c] * qvel for c in range(6)]
+  cvel = [mxu(C["ANC"][:], scaled[c]) for c in range(6)]
+  vp = [mxu(C["CDM"][:], scaled[c]) for c in range(6)]
+  cd_ang = _cross(vp[0:3], cdof[0:3])
+  cd_lin0 = _cross(vp[0:3], cdof[3:6])
+  cd_lin1 = _cross(vp[3:6], cdof[0:3])
+  cdof_dot = cd_ang + [cd_lin0[c] + cd_lin1[c] for c in range(3)]
+
+  cacc0 = [0.0, 0.0, 0.0, -gx, -gy, -gz]
+  cacc = [cacc0[c] + mxu(C["ANC"][:], cdof_dot[c] * qvel)
+          for c in range(6)]
+
+  def inert_mul(mot):
+    """cinert (body rows) x motion (6 slices) -> force (6 slices)."""
+    mw, mv = mot[0:3], mot[3:6]
+    cm = cin[6:9]
+    tq = [cin[0] * mw[0] + cin[3] * mw[1] + cin[4] * mw[2],
+          cin[3] * mw[0] + cin[1] * mw[1] + cin[5] * mw[2],
+          cin[4] * mw[0] + cin[5] * mw[1] + cin[2] * mw[2]]
+    cxv = _cross(cm, mv)
+    cxw = _cross(cm, mw)
+    return [tq[c] + cxv[c] for c in range(3)] + \
+           [cin[9] * mv[c] - cxw[c] for c in range(3)]
+
+  Iv = inert_mul(cvel)
+  Ia = inert_mul(cacc)
+  # force_cross(cvel, Iv): ang = w x f_ang + v x f_lin ; lin = w x f_lin
+  fc_ang0 = _cross(cvel[0:3], Iv[0:3])
+  fc_ang1 = _cross(cvel[3:6], Iv[3:6])
+  fc_lin = _cross(cvel[0:3], Iv[3:6])
+  cfrc = [Ia[c] + fc_ang0[c] + fc_ang1[c] for c in range(3)] + \
+         [Ia[3 + c] + fc_lin[c] for c in range(3)]
+  tot = [mxu(C["SUB"][:], cfrc[c]) for c in range(6)]
+  qfrc_bias = sum(cdof[c] * mxu(C["DOFSEL"][:], tot[c])
+                  for c in range(6))
+
+  def crb_mul(x):
+    """M @ x via the CRB identity (spread -> body inertia ->
+    subtree-accumulate -> project), all small MXU matmuls — exactly
+    the composite-inertia mass matrix (plus armature), without
+    touching the materialized (np_, np_, E) qm. Valid for vectors
+    with zero padding rows (all CG vectors)."""
+    u = [mxu(C["ANC"][:], cdof[c] * x) for c in range(6)]
+    fb = inert_mul(u)
+    gs = [mxu(C["SUB"][:], fb[c]) for c in range(6)]
+    y = cdof[0] * mxu(C["DOFSEL"][:], gs[0])
+    for c in range(1, 6):
+      y = y + cdof[c] * mxu(C["DOFSEL"][:], gs[c])
+    return y + C["ARMAC"][:] * x
+
+  # ================= passive =================
+  qfrc_spring = mxu(C["KSEL"][:], qpos) + C["KCONST"][:]
+  qfrc_damper = -C["DAMP"][:] * qvel
+  qfrc_passive = qfrc_spring + qfrc_damper
+
+  # ================= transmission + actuation =================
+  AT = C["ATAB"][:]
+  alen = mxu(C["GL"][:], qpos)
+  avel = mxu(C["MOM"][:], qvel)
+  ctrl_cl = jnp.clip(ctrl, AT[:, 0:1], AT[:, 1:2])
+  if has_act:
+    AT2 = C["ATAB2"][:]
+    csel_ctrl = mxu(C["CSEL"][:], ctrl_cl)
+    act_dot = (AT2[:, 1:2] * (csel_ctrl - actv) * AT2[:, 0:1]
+               + AT2[:, 2:3] * csel_ctrl)
+    act_in = mxu(C["ACTSEL"][:], actv)
+  else:
+    act_dot = jnp.zeros_like(actv)
+    act_in = jnp.zeros_like(ctrl_cl)
+  ainput = AT[:, 14:15] * ctrl_cl + (1.0 - AT[:, 14:15]) * act_in
+  gain = AT[:, 3:4] + AT[:, 4:5] * alen + AT[:, 5:6] * avel
+  bias = AT[:, 6:7] + AT[:, 7:8] * alen + AT[:, 8:9] * avel
+  force = jnp.clip(gain * ainput + bias, AT[:, 9:10], AT[:, 10:11])
+  qfrc_actuator = mxu(C["MOMT"][:], force)
+
+  qfs = qfrc_passive - qfrc_bias + qfrc_actuator + qfa
+  qacc_smooth = mmul0(qminv, qfs)
+
+  # ================= constraint rows (v1 flow) =================
+  JLIMv = C["JLIM"][:]
+  CMATv = C["CMAT"][:]
+  LT = C["LTAB"][:]
+  CT = C["CTAB"][:]
+
+  dist_l = mxu(C["QSEL"][:], qpos) - LT[:, 0:1]
+  vel_l = mxu(JLIMv, qvel)
+
+  def impedance(x_pos, margin, d0, dmax, width, mid, pw):
+    x = jnp.abs(x_pos - margin) / width
+    x = jnp.clip(x, 0.0, 1.0)
+    if all_pw2:
+      a = 1.0 / jnp.maximum(mid, _MINVAL)
+      b = 1.0 / jnp.maximum(1.0 - mid, _MINVAL)
+      y = jnp.where(x < mid, a * x * x, 1.0 - b * (1.0 - x) * (1.0 - x))
+    else:
+      pwc = jnp.maximum(pw, 1.0)
+      a = 1.0 / jnp.maximum(mid, _MINVAL) ** (pwc - 1.0)
+      b = 1.0 / jnp.maximum(1.0 - mid, _MINVAL) ** (pwc - 1.0)
+      y = jnp.where(x < mid, a * x ** pwc, 1.0 - b * (1.0 - x) ** pwc)
+    return jnp.clip(d0 + y * (dmax - d0), _MINIMP, _MAXIMP)
+
+  imp_l = impedance(dist_l, LT[:, 3:4], LT[:, 6:7], LT[:, 7:8],
+                    LT[:, 8:9], LT[:, 9:10], LT[:, 10:11])
+  aref_l = (-LT[:, 2:3] * vel_l
+            - LT[:, 1:2] * imp_l * (dist_l - LT[:, 3:4]))
+  act_l = dist_l < LT[:, 3:4]
+  R_l = jnp.maximum((1.0 - imp_l) / jnp.maximum(imp_l, _MINVAL)
+                    * LT[:, 5:6], _MINVAL)
+  D_l = jnp.where(act_l, 1.0 / R_l, 0.0)
+
+  fx = frame[0 * nc3:1 * nc3]
+  fy = frame[1 * nc3:2 * nc3]
+  fz = frame[2 * nc3:3 * nc3]
+  EXPv = C["EXP3"][:]
+  rel2 = [cposc[c] - mxu(C["CB2"][:], com[c]) for c in range(3)]
+  ex = mxu(EXPv, rel2[0])
+  ey = mxu(EXPv, rel2[1])
+  ez = mxu(EXPv, rel2[2])
+  gxr = ey * fz - ez * fy
+  gyr = ez * fx - ex * fz
+  gzr = ex * fy - ey * fx
+  coefs2 = (fx, fy, fz, gxr, gyr, gzr)
+  cdof6 = (v[0], v[1], v[2], w[0], w[1], w[2])
+  if not body1_zero:
+    rel1 = [cposc[c] - mxu(C["CB1"][:], com[c]) for c in range(3)]
+    e1x = mxu(EXPv, rel1[0])
+    e1y = mxu(EXPv, rel1[1])
+    e1z = mxu(EXPv, rel1[2])
+    g1x = e1y * fz - e1z * fy
+    g1y = e1z * fx - e1x * fz
+    g1z = e1x * fy - e1y * fx
+    coefs1 = (fx, fy, fz, g1x, g1y, g1z)
+
+  def conmat(x):
+    """base-jacobian rows times x: (nc3, E), via the factorized form."""
+    acc = None
+    for coef, cd in zip(coefs2, cdof6):
+      t = mxu(C["GB2"][:], mxu(C["MASKB2"][:], cd * x))
+      acc = coef * t if acc is None else acc + coef * t
+    if not body1_zero:
+      for coef, cd in zip(coefs1, cdof6):
+        acc = acc - coef * mxu(C["GB1"][:],
+                               mxu(C["MASKB1"][:], cd * x))
+    return acc
+
+  def conmat_t(cb):
+    """transpose: (nc3, E) row loads -> dof space (np_, E)."""
+    z = None
+    for coef, cd in zip(coefs2, cdof6):
+      t = mxu(C["MASKB2"][:].T, mxu(C["GB2"][:].T, coef * cb))
+      z = cd * t if z is None else z + cd * t
+    if not body1_zero:
+      for coef, cd in zip(coefs1, cdof6):
+        z = z - cd * mxu(C["MASKB1"][:].T,
+                         mxu(C["GB1"][:].T, coef * cb))
+    return z
+
+  def matvec(x):
+    # PACKED J-space: limit rows then contact rows in ONE (nefc, E)
+    # array — single-op CG inner loops.
+    lim = mxu(JLIMv, x)
+    con = mxu(CMATv, conmat(x))
+    return jnp.concatenate([lim, con], axis=0)
+
+  def rmatvec(f):
+    out = mxu(JLIMv.T, f[:nlimit])
+    cb = mxu(CMATv.T, f[nlimit:])
+    return out + conmat_t(cb)
+
+  pos_c = mxu(C["RID"][:], cdist)
+  vel_c = mxu(CMATv, conmat(qvel))
+  imp_c = impedance(pos_c, CT[:, 3:4], CT[:, 6:7], CT[:, 7:8],
+                    CT[:, 8:9], CT[:, 9:10], CT[:, 10:11])
+  aref_c = (-CT[:, 2:3] * vel_c
+            - CT[:, 1:2] * imp_c * (pos_c - CT[:, 3:4]))
+  act_c = pos_c < CT[:, 4:5]
+  R_c = jnp.maximum((1.0 - imp_c) / jnp.maximum(imp_c, _MINVAL)
+                    * CT[:, 5:6], _MINVAL)
+  D_c = jnp.where(act_c, 1.0 / R_c, 0.0)
+
+  D = jnp.concatenate([D_l, D_c], axis=0)
+  aref = jnp.concatenate([aref_l, aref_c], axis=0)
+
+  # ================= primal CG (packed J-space) =================
+  def dterm_of(jar):
+    return jnp.where(jar < 0, D, 0.0)
+
+  # Mdx = qm @ (x - qacc_smooth) is maintained INCREMENTALLY
+  # (Mdx += alpha * Mp on accept): cost/grad/pMdx all reuse it, so the
+  # loop needs only 2 mass-matrix matvecs per iteration (qm @ p and
+  # qminv @ grad) instead of 5.
+  def cost(x, jar, dx, Mdx):
+    dterm = dterm_of(jar)
+    gauss = 0.5 * rsum(dx * Mdx)
+    pen = 0.5 * rsum(dterm * jar * jar)
+    return gauss + pen, dterm
+
+  def grad_fn(Mdx, jar, dterm):
+    return Mdx + rmatvec(dterm * jar)
+
+  x = qacc_smooth
+  dx = jnp.zeros_like(x)
+  Mdx = jnp.zeros_like(x)
+  jar = matvec(x) - aref
+  cur_cost, dterm = cost(x, jar, dx, Mdx)
+  g = grad_fn(Mdx, jar, dterm)
+  Mg = mmul0(qminv, g)
+  p = -Mg
+  done = jnp.zeros((1, E), bool)
+  prev_g, prev_Mg = g, Mg
+
+  for _ in range(0 if "cg" in ablate else iters):
+    Jp = matvec(p)
+    Mp = crb_mul(p)
+    pMp = rsum(p * Mp)
+    pMdx = rsum(p * Mdx)
+
+    def dphi(alpha, jar=jar, Jp=Jp, pMp=pMp, pMdx=pMdx):
+      j = jar + alpha[None, :] * Jp
+      dt_ = dterm_of(j)
+      dJp = dt_ * Jp
+      gg = pMdx + alpha * pMp + rsum(dJp * j)
+      hh = pMp + rsum(dJp * Jp)
+      return gg, hh
+
+    g0, h0 = dphi(jnp.zeros((E,), jnp.float32))
+    alpha = -g0 / jnp.maximum(h0, 1e-15)
+    for _i in range(0 if "ls" in ablate else n_ls):
+      gg, hh = dphi(alpha)
+      alpha = alpha - gg / jnp.maximum(hh, 1e-15)
+
+    x_n = x + alpha[None, :] * p
+    dx_n = dx + alpha[None, :] * p
+    Mdx_n = Mdx + alpha[None, :] * Mp
+    jar_n = jar + alpha[None, :] * Jp
+    c_n, dterm_n = cost(x_n, jar_n, dx_n, Mdx_n)
+    g_n = grad_fn(Mdx_n, jar_n, dterm_n)
+    Mg_n = mmul0(qminv, g_n)
+    num = rsum(g_n * Mg_n) - rsum(prev_g * Mg_n)
+    den = jnp.maximum(rsum(prev_g * prev_Mg), 1e-15)
+    beta = jnp.maximum(0.0, num / den)
+    p_n = -Mg_n + beta[None, :] * p
+    improvement = cur_cost - c_n
+    done_row = done[0]
+    done_n = done_row | (improvement < tol)
+    keep = done
+    sel = lambda old, new: jnp.where(keep, old, new)
+    x = sel(x, x_n)
+    dx = sel(dx, dx_n)
+    Mdx = sel(Mdx, Mdx_n)
+    jar = sel(jar, jar_n)
+    p = sel(p, p_n)
+    prev_g = sel(prev_g, g_n)
+    prev_Mg = sel(prev_Mg, Mg_n)
+    cur_cost = jnp.where(done_row, cur_cost, c_n)
+    done = done_n[None, :]
+
+  dterm = dterm_of(jar)
+  force_efc = -dterm * jar
+  qfrc_constraint = rmatvec(force_efc)
+
+  # ================= implicit damping + integration =================
+  qacc_int = x
+  if eulerdamp and "damp" not in ablate:
+    qfrc = qfs + qfrc_constraint
+    hb = C["HBD"][:]
+
+    def mhb(y):
+      return crb_mul(y) + hb * y
+
+    xd = mmul0(qminv, qfrc)
+    rr = qfrc - mhb(xd)
+    z = mmul0(qminv, rr)
+    pp = z
+    rz = rsum(rr * z)
+    for _ in range(6):
+      Ap = mhb(pp)
+      alpha = rz / jnp.maximum(rsum(pp * Ap), 1e-30)
+      xd = xd + alpha[None, :] * pp
+      rr = rr - alpha[None, :] * Ap
+      z = mmul0(qminv, rr)
+      rz_new = rsum(rr * z)
+      pp = z + (rz_new / jnp.maximum(rz, 1e-30))[None, :] * pp
+      rz = rz_new
+    qacc_int = xd
+
+  qvel_new = qvel + H * qacc_int
+  qpos_new = qpos + mxu(C["QVH"][:], qvel_new)
+  if has_free:
+    fq, fv = st2.fqadr, st2.fvadr
+    q0 = [qpos[fq + 3 + k:fq + 4 + k] for k in range(4)]
+    wv = [qvel_new[fv + 3 + k:fv + 4 + k] for k in range(3)]
+    nrm = jnp.sqrt(wv[0] * wv[0] + wv[1] * wv[1] + wv[2] * wv[2])
+    half = 0.5 * nrm * H
+    s = jnp.sin(half) / jnp.maximum(nrm, 1e-12)
+    dq = [jnp.cos(half), wv[0] * s, wv[1] * s, wv[2] * s]
+    qn = [
+        q0[0] * dq[0] - q0[1] * dq[1] - q0[2] * dq[2] - q0[3] * dq[3],
+        q0[0] * dq[1] + q0[1] * dq[0] + q0[2] * dq[3] - q0[3] * dq[2],
+        q0[0] * dq[2] - q0[1] * dq[3] + q0[2] * dq[0] + q0[3] * dq[1],
+        q0[0] * dq[3] + q0[1] * dq[2] - q0[2] * dq[1] + q0[3] * dq[0],
+    ]
+    qnn = jnp.sqrt(qn[0] * qn[0] + qn[1] * qn[1] + qn[2] * qn[2]
+                   + qn[3] * qn[3])
+    quat = jnp.concatenate([qn[k] / qnn for k in range(4)], axis=0)
+    qpos_new = (qpos_new * (1.0 - C["QMASKC"][:])
+                + mxu(C["PQ"][:], quat))
+
+
+  return (com, cin, cdof, cvel, cdof_dot, qfrc_bias, qfrc_spring,
+          qfrc_damper, qfrc_passive, alen, avel, force, act_dot,
+          qfrc_actuator, qfs, qacc_smooth, x, qfrc_constraint,
+          force_efc, qpos_new, qvel_new,
+          actv + H * act_dot if has_act else actv)
+
+
+@functools.lru_cache(maxsize=8)
+def _kernel(m: Model, interpret: bool = False, ablate: str = ""):
+  # ablate: comma-separated section names to skip — PROFILING ONLY.
+  from jax.experimental import pallas as pl
+  from jax.experimental.pallas import tpu as pltpu
+
+  sc = _scalars(m)
+  nbody, Js, np_, ncon, nc3 = sc.nbody, sc.Js, sc.np_, sc.ncon, sc.nc3
+  nq, nu, na_p, nlimit, ncr = sc.nq, sc.nu, sc.na_p, sc.nlimit, sc.ncr
+  E = _LANES
+  cnames, cvals = _build_consts(m)
 
   n_in = 14  # dynamic inputs
   out_rows = [3 * nbody, 10 * nbody, 6 * np_, 6 * nbody, 6 * np_,
@@ -454,463 +978,27 @@ def _kernel(m: Model, interpret: bool = False, ablate: str = ""):
      cdist_ref, cpos_ref, frame_ref, dummy_ref) = \
         refs[len(cnames):len(cnames) + n_in]
     outs = refs[len(cnames) + n_in:len(cnames) + n_in + len(out_rows)]
-    (o_com, o_cin, o_cdof, o_cvel, o_cdofdot, o_bias, o_spring, o_damper,
-     o_passive, o_alen, o_avel, o_afrc, o_actdot, o_qfa, o_qfs, o_qaccs,
-     o_qacc, o_qfc, o_flim, o_fcon, o_qpos, o_qvel, o_act) = outs
-    s_a, s_l, s_x = refs[len(cnames) + n_in + len(out_rows):]
+    scr = refs[len(cnames) + n_in + len(out_rows):]
 
-    def mxu(a, b):
-      return jax.lax.dot_general(a, b, (((1,), (0,)), ((), ())),
-                                 preferred_element_type=jnp.float32)
-
-    qpos = qpos_ref[:]
-    qvel = qvel_ref[:]
-    actv = act_ref[:]
-    ctrl = ctrl_ref[:]
-    qfa = qfa_ref[:]
-    BT = C["BTAB"][:]
-
-    # ================= com_pos =================
     xip = [xipos_ref[c * nbody:(c + 1) * nbody] for c in range(3)]
     R = [[ximat_ref[(3 * a + b) * nbody:(3 * a + b + 1) * nbody]
           for b in range(3)] for a in range(3)]
-    mass = BT[:, 0:1]
-    moment = [mass * xip[c] for c in range(3)]
-    com = [mxu(C["SUB"][:], moment[c]) * BT[:, 1:2] for c in range(3)]
-    rootcom = [mxu(C["ROOT"][:], com[c]) for c in range(3)]
-    off = [xip[c] - rootcom[c] for c in range(3)]
-    dsq = off[0] * off[0] + off[1] * off[1] + off[2] * off[2]
-    Id = [BT[:, 2 + j:3 + j] for j in range(3)]
-
-    def iw(a, b):
-      return sum(Id[j] * R[a][j] * R[b][j] for j in range(3))
-
-    cin = [iw(0, 0) + mass * (dsq - off[0] * off[0]),
-           iw(1, 1) + mass * (dsq - off[1] * off[1]),
-           iw(2, 2) + mass * (dsq - off[2] * off[2]),
-           iw(0, 1) - mass * off[0] * off[1],
-           iw(0, 2) - mass * off[0] * off[2],
-           iw(1, 2) - mass * off[1] * off[2],
-           mass * off[0], mass * off[1], mass * off[2],
-           mass * jnp.ones_like(dsq)]
-
-    # ================= cdof =================
     axj = [axj_ref[c * Js:(c + 1) * Js] for c in range(3)]
     anj = [anj_ref[c * Js:(c + 1) * Js] for c in range(3)]
-    oj = [mxu(C["OB"][:], com[c]) for c in range(3)]
-    rel = [oj[c] - anj[c] for c in range(3)]
-    linh = _cross(axj, rel)
-    hs = C["HSG"][:]
-    angj = [hs * axj[c] for c in range(3)]
-    linj = [hs * linh[c] + (1.0 - hs) * axj[c] for c in range(3)]
-    cdof = [mxu(C["PSC"][:], angj[c]) for c in range(3)] + \
-           [mxu(C["PSC"][:], linj[c]) for c in range(3)]
-    if has_free:
+    if sc.has_free:
       xf = xfree_ref[:]
-      xpb = [xf[c:c + 1] for c in range(3)]
-      xm = [[xf[3 + 3 * a + b:4 + 3 * a + b] for b in range(3)]
-            for a in range(3)]
-      rb = st2.frootb
-      of = [com[c][rb:rb + 1] - xpb[c] for c in range(3)]
-      one = jnp.ones_like(xpb[0])
-      zero = jnp.zeros_like(xpb[0])
-      frows = []
-      for c in range(3):          # ang comps: trans rows 0, rot = axes
-        axesc = [xm[c][0], xm[c][1], xm[c][2]]   # axes_k comp c = xmat[c,k]
-        frows.append(jnp.concatenate([zero, zero, zero] + axesc, axis=0))
-      for c in range(3):          # lin comps
-        lrows = []
-        for k in range(3):
-          lrows.append(one if c == k else zero)
-        for k in range(3):
-          axk = [xm[0][k], xm[1][k], xm[2][k]]
-          lr = _cross(axk, of)
-          lrows.append(lr[c])
-        frows.append(jnp.concatenate(lrows, axis=0))
-      for c in range(6):
-        cdof[c] = cdof[c] + mxu(C["PFREE"][:], frows[c])
-    w = cdof[0:3]
-    v = cdof[3:6]
-
-    # ================= CRB mass matrix (v1 flow, cinert from VMEM) ====
-    DSv = C["DS"][:]
-    crbd = [mxu(DSv, cin[c]) for c in range(10)]
-    ixx, iyy, izz, ixy, ixz, iyz = crbd[0:6]
-    cmx, cmy, cmz, bmass = crbd[6], crbd[7], crbd[8], crbd[9]
-    F = [
-        ixx * w[0] + ixy * w[1] + ixz * w[2] + cmy * v[2] - cmz * v[1],
-        ixy * w[0] + iyy * w[1] + iyz * w[2] + cmz * v[0] - cmx * v[2],
-        ixz * w[0] + iyz * w[1] + izz * w[2] + cmx * v[1] - cmy * v[0],
-        bmass * v[0] - (cmy * w[2] - cmz * w[1]),
-        bmass * v[1] - (cmz * w[0] - cmx * w[2]),
-        bmass * v[2] - (cmx * w[1] - cmy * w[0]),
-    ]
-    up = cdof[0][:, None, :] * F[0][None, :, :]
-    lo = F[0][:, None, :] * cdof[0][None, :, :]
-    for k in range(1, 6):
-      up = up + cdof[k][:, None, :] * F[k][None, :, :]
-      lo = lo + F[k][:, None, :] * cdof[k][None, :, :]
-    qm = (up * C["QMU"][:][:, :, None]
-          + lo * C["QML"][:][:, :, None]
-          + C["ARMAD"][:][:, :, None])
-
-    def mmul0(mat, x):
-      return jnp.sum(mat * x[:, None, :], axis=0)
-
-    def rsum(x):
-      # row-sum via a 1-row MXU matmul: the VPU cross-sublane reduction
-      # is latency-bound and dominates the CG line search (56 dphi
-      # evals x 2 reductions); the MXU form pipelines.
-      return mxu(jnp.ones((1, x.shape[0]), jnp.float32), x)[0]
-
-    if "chol" in ablate:
-      s_x[:] = (jnp.eye(np_, dtype=jnp.float32)[:, :, None]
-                + jnp.zeros((np_, np_, E), jnp.float32))
+      xfree = ([xf[c:c + 1] for c in range(3)],
+               [[xf[3 + 3 * a + b:4 + 3 * a + b] for b in range(3)]
+                for a in range(3)])
     else:
-      s_a[:] = qm
-      _chol_inplace(np_, np_, s_a, s_l)
-      _inv_from_chol_inplace(np_, s_l, s_a, s_x)
-    qminv = s_x[:]
-
-    # ================= com_vel / rne =================
-    scaled = [cdof[c] * qvel for c in range(6)]
-    cvel = [mxu(C["ANC"][:], scaled[c]) for c in range(6)]
-    vp = [mxu(C["CDM"][:], scaled[c]) for c in range(6)]
-    cd_ang = _cross(vp[0:3], cdof[0:3])
-    cd_lin0 = _cross(vp[0:3], cdof[3:6])
-    cd_lin1 = _cross(vp[3:6], cdof[0:3])
-    cdof_dot = cd_ang + [cd_lin0[c] + cd_lin1[c] for c in range(3)]
-
-    cacc0 = [0.0, 0.0, 0.0, -gx, -gy, -gz]
-    cacc = [cacc0[c] + mxu(C["ANC"][:], cdof_dot[c] * qvel)
-            for c in range(6)]
-
-    def inert_mul(mot):
-      """cinert (body rows) x motion (6 slices) -> force (6 slices)."""
-      mw, mv = mot[0:3], mot[3:6]
-      cm = cin[6:9]
-      tq = [cin[0] * mw[0] + cin[3] * mw[1] + cin[4] * mw[2],
-            cin[3] * mw[0] + cin[1] * mw[1] + cin[5] * mw[2],
-            cin[4] * mw[0] + cin[5] * mw[1] + cin[2] * mw[2]]
-      cxv = _cross(cm, mv)
-      cxw = _cross(cm, mw)
-      return [tq[c] + cxv[c] for c in range(3)] + \
-             [cin[9] * mv[c] - cxw[c] for c in range(3)]
-
-    Iv = inert_mul(cvel)
-    Ia = inert_mul(cacc)
-    # force_cross(cvel, Iv): ang = w x f_ang + v x f_lin ; lin = w x f_lin
-    fc_ang0 = _cross(cvel[0:3], Iv[0:3])
-    fc_ang1 = _cross(cvel[3:6], Iv[3:6])
-    fc_lin = _cross(cvel[0:3], Iv[3:6])
-    cfrc = [Ia[c] + fc_ang0[c] + fc_ang1[c] for c in range(3)] + \
-           [Ia[3 + c] + fc_lin[c] for c in range(3)]
-    tot = [mxu(C["SUB"][:], cfrc[c]) for c in range(6)]
-    qfrc_bias = sum(cdof[c] * mxu(C["DOFSEL"][:], tot[c])
-                    for c in range(6))
-
-    def crb_mul(x):
-      """M @ x via the CRB identity (spread -> body inertia ->
-      subtree-accumulate -> project), all small MXU matmuls — exactly
-      the composite-inertia mass matrix (plus armature), without
-      touching the materialized (np_, np_, E) qm. Valid for vectors
-      with zero padding rows (all CG vectors)."""
-      u = [mxu(C["ANC"][:], cdof[c] * x) for c in range(6)]
-      fb = inert_mul(u)
-      gs = [mxu(C["SUB"][:], fb[c]) for c in range(6)]
-      y = cdof[0] * mxu(C["DOFSEL"][:], gs[0])
-      for c in range(1, 6):
-        y = y + cdof[c] * mxu(C["DOFSEL"][:], gs[c])
-      return y + C["ARMAC"][:] * x
-
-    # ================= passive =================
-    qfrc_spring = mxu(C["KSEL"][:], qpos) + C["KCONST"][:]
-    qfrc_damper = -C["DAMP"][:] * qvel
-    qfrc_passive = qfrc_spring + qfrc_damper
-
-    # ================= transmission + actuation =================
-    AT = C["ATAB"][:]
-    alen = mxu(C["GL"][:], qpos)
-    avel = mxu(C["MOM"][:], qvel)
-    ctrl_cl = jnp.clip(ctrl, AT[:, 0:1], AT[:, 1:2])
-    if has_act:
-      AT2 = C["ATAB2"][:]
-      csel_ctrl = mxu(C["CSEL"][:], ctrl_cl)
-      act_dot = (AT2[:, 1:2] * (csel_ctrl - actv) * AT2[:, 0:1]
-                 + AT2[:, 2:3] * csel_ctrl)
-      act_in = mxu(C["ACTSEL"][:], actv)
-    else:
-      act_dot = jnp.zeros_like(actv)
-      act_in = jnp.zeros_like(ctrl_cl)
-    ainput = AT[:, 14:15] * ctrl_cl + (1.0 - AT[:, 14:15]) * act_in
-    gain = AT[:, 3:4] + AT[:, 4:5] * alen + AT[:, 5:6] * avel
-    bias = AT[:, 6:7] + AT[:, 7:8] * alen + AT[:, 8:9] * avel
-    force = jnp.clip(gain * ainput + bias, AT[:, 9:10], AT[:, 10:11])
-    qfrc_actuator = mxu(C["MOMT"][:], force)
-
-    qfs = qfrc_passive - qfrc_bias + qfrc_actuator + qfa
-    qacc_smooth = mmul0(qminv, qfs)
-
-    # ================= constraint rows (v1 flow) =================
-    JLIMv = C["JLIM"][:]
-    CMATv = C["CMAT"][:]
-    LT = C["LTAB"][:]
-    CT = C["CTAB"][:]
-    cdist = cdist_ref[:]
+      xfree = None
     cposc = [cpos_ref[c * ncon:(c + 1) * ncon] for c in range(3)]
-    frame = frame_ref[:]
 
-    dist_l = mxu(C["QSEL"][:], qpos) - LT[:, 0:1]
-    vel_l = mxu(JLIMv, qvel)
-
-    def impedance(x_pos, margin, d0, dmax, width, mid, pw):
-      x = jnp.abs(x_pos - margin) / width
-      x = jnp.clip(x, 0.0, 1.0)
-      if all_pw2:
-        a = 1.0 / jnp.maximum(mid, _MINVAL)
-        b = 1.0 / jnp.maximum(1.0 - mid, _MINVAL)
-        y = jnp.where(x < mid, a * x * x, 1.0 - b * (1.0 - x) * (1.0 - x))
-      else:
-        pwc = jnp.maximum(pw, 1.0)
-        a = 1.0 / jnp.maximum(mid, _MINVAL) ** (pwc - 1.0)
-        b = 1.0 / jnp.maximum(1.0 - mid, _MINVAL) ** (pwc - 1.0)
-        y = jnp.where(x < mid, a * x ** pwc, 1.0 - b * (1.0 - x) ** pwc)
-      return jnp.clip(d0 + y * (dmax - d0), _MINIMP, _MAXIMP)
-
-    imp_l = impedance(dist_l, LT[:, 3:4], LT[:, 6:7], LT[:, 7:8],
-                      LT[:, 8:9], LT[:, 9:10], LT[:, 10:11])
-    aref_l = (-LT[:, 2:3] * vel_l
-              - LT[:, 1:2] * imp_l * (dist_l - LT[:, 3:4]))
-    act_l = dist_l < LT[:, 3:4]
-    R_l = jnp.maximum((1.0 - imp_l) / jnp.maximum(imp_l, _MINVAL)
-                      * LT[:, 5:6], _MINVAL)
-    D_l = jnp.where(act_l, 1.0 / R_l, 0.0)
-
-    fx = frame[0 * nc3:1 * nc3]
-    fy = frame[1 * nc3:2 * nc3]
-    fz = frame[2 * nc3:3 * nc3]
-    EXPv = C["EXP3"][:]
-    rel2 = [cposc[c] - mxu(C["CB2"][:], com[c]) for c in range(3)]
-    ex = mxu(EXPv, rel2[0])
-    ey = mxu(EXPv, rel2[1])
-    ez = mxu(EXPv, rel2[2])
-    gxr = ey * fz - ez * fy
-    gyr = ez * fx - ex * fz
-    gzr = ex * fy - ey * fx
-    coefs2 = (fx, fy, fz, gxr, gyr, gzr)
-    cdof6 = (v[0], v[1], v[2], w[0], w[1], w[2])
-    if not body1_zero:
-      rel1 = [cposc[c] - mxu(C["CB1"][:], com[c]) for c in range(3)]
-      e1x = mxu(EXPv, rel1[0])
-      e1y = mxu(EXPv, rel1[1])
-      e1z = mxu(EXPv, rel1[2])
-      g1x = e1y * fz - e1z * fy
-      g1y = e1z * fx - e1x * fz
-      g1z = e1x * fy - e1y * fx
-      coefs1 = (fx, fy, fz, g1x, g1y, g1z)
-
-    def conmat(x):
-      """base-jacobian rows times x: (nc3, E), via the factorized form."""
-      acc = None
-      for coef, cd in zip(coefs2, cdof6):
-        t = mxu(C["GB2"][:], mxu(C["MASKB2"][:], cd * x))
-        acc = coef * t if acc is None else acc + coef * t
-      if not body1_zero:
-        for coef, cd in zip(coefs1, cdof6):
-          acc = acc - coef * mxu(C["GB1"][:],
-                                 mxu(C["MASKB1"][:], cd * x))
-      return acc
-
-    def conmat_t(cb):
-      """transpose: (nc3, E) row loads -> dof space (np_, E)."""
-      z = None
-      for coef, cd in zip(coefs2, cdof6):
-        t = mxu(C["MASKB2"][:].T, mxu(C["GB2"][:].T, coef * cb))
-        z = cd * t if z is None else z + cd * t
-      if not body1_zero:
-        for coef, cd in zip(coefs1, cdof6):
-          z = z - cd * mxu(C["MASKB1"][:].T,
-                           mxu(C["GB1"][:].T, coef * cb))
-      return z
-
-    def matvec(x):
-      # PACKED J-space: limit rows then contact rows in ONE (nefc, E)
-      # array — single-op CG inner loops.
-      lim = mxu(JLIMv, x)
-      con = mxu(CMATv, conmat(x))
-      return jnp.concatenate([lim, con], axis=0)
-
-    def rmatvec(f):
-      out = mxu(JLIMv.T, f[:nlimit])
-      cb = mxu(CMATv.T, f[nlimit:])
-      return out + conmat_t(cb)
-
-    pos_c = mxu(C["RID"][:], cdist)
-    vel_c = mxu(CMATv, conmat(qvel))
-    imp_c = impedance(pos_c, CT[:, 3:4], CT[:, 6:7], CT[:, 7:8],
-                      CT[:, 8:9], CT[:, 9:10], CT[:, 10:11])
-    aref_c = (-CT[:, 2:3] * vel_c
-              - CT[:, 1:2] * imp_c * (pos_c - CT[:, 3:4]))
-    act_c = pos_c < CT[:, 4:5]
-    R_c = jnp.maximum((1.0 - imp_c) / jnp.maximum(imp_c, _MINVAL)
-                      * CT[:, 5:6], _MINVAL)
-    D_c = jnp.where(act_c, 1.0 / R_c, 0.0)
-
-    D = jnp.concatenate([D_l, D_c], axis=0)
-    aref = jnp.concatenate([aref_l, aref_c], axis=0)
-
-    # ================= primal CG (packed J-space) =================
-    def dterm_of(jar):
-      return jnp.where(jar < 0, D, 0.0)
-
-    # Mdx = qm @ (x - qacc_smooth) is maintained INCREMENTALLY
-    # (Mdx += alpha * Mp on accept): cost/grad/pMdx all reuse it, so the
-    # loop needs only 2 mass-matrix matvecs per iteration (qm @ p and
-    # qminv @ grad) instead of 5.
-    def cost(x, jar, dx, Mdx):
-      dterm = dterm_of(jar)
-      gauss = 0.5 * rsum(dx * Mdx)
-      pen = 0.5 * rsum(dterm * jar * jar)
-      return gauss + pen, dterm
-
-    def grad_fn(Mdx, jar, dterm):
-      return Mdx + rmatvec(dterm * jar)
-
-    x = qacc_smooth
-    dx = jnp.zeros_like(x)
-    Mdx = jnp.zeros_like(x)
-    jar = matvec(x) - aref
-    cur_cost, dterm = cost(x, jar, dx, Mdx)
-    g = grad_fn(Mdx, jar, dterm)
-    Mg = mmul0(qminv, g)
-    p = -Mg
-    done = jnp.zeros((1, E), bool)
-    prev_g, prev_Mg = g, Mg
-
-    for _ in range(0 if "cg" in ablate else iters):
-      Jp = matvec(p)
-      Mp = crb_mul(p)
-      pMp = rsum(p * Mp)
-      pMdx = rsum(p * Mdx)
-
-      def dphi(alpha, jar=jar, Jp=Jp, pMp=pMp, pMdx=pMdx):
-        j = jar + alpha[None, :] * Jp
-        dt_ = dterm_of(j)
-        dJp = dt_ * Jp
-        gg = pMdx + alpha * pMp + rsum(dJp * j)
-        hh = pMp + rsum(dJp * Jp)
-        return gg, hh
-
-      g0, h0 = dphi(jnp.zeros((E,), jnp.float32))
-      alpha = -g0 / jnp.maximum(h0, 1e-15)
-      for _i in range(0 if "ls" in ablate else n_ls):
-        gg, hh = dphi(alpha)
-        alpha = alpha - gg / jnp.maximum(hh, 1e-15)
-
-      x_n = x + alpha[None, :] * p
-      dx_n = dx + alpha[None, :] * p
-      Mdx_n = Mdx + alpha[None, :] * Mp
-      jar_n = jar + alpha[None, :] * Jp
-      c_n, dterm_n = cost(x_n, jar_n, dx_n, Mdx_n)
-      g_n = grad_fn(Mdx_n, jar_n, dterm_n)
-      Mg_n = mmul0(qminv, g_n)
-      num = rsum(g_n * Mg_n) - rsum(prev_g * Mg_n)
-      den = jnp.maximum(rsum(prev_g * prev_Mg), 1e-15)
-      beta = jnp.maximum(0.0, num / den)
-      p_n = -Mg_n + beta[None, :] * p
-      improvement = cur_cost - c_n
-      done_row = done[0]
-      done_n = done_row | (improvement < tol)
-      keep = done
-      sel = lambda old, new: jnp.where(keep, old, new)
-      x = sel(x, x_n)
-      dx = sel(dx, dx_n)
-      Mdx = sel(Mdx, Mdx_n)
-      jar = sel(jar, jar_n)
-      p = sel(p, p_n)
-      prev_g = sel(prev_g, g_n)
-      prev_Mg = sel(prev_Mg, Mg_n)
-      cur_cost = jnp.where(done_row, cur_cost, c_n)
-      done = done_n[None, :]
-
-    dterm = dterm_of(jar)
-    force_efc = -dterm * jar
-    qfrc_constraint = rmatvec(force_efc)
-
-    # ================= implicit damping + integration =================
-    qacc_int = x
-    if eulerdamp and "damp" not in ablate:
-      qfrc = qfs + qfrc_constraint
-      hb = C["HBD"][:]
-
-      def mhb(y):
-        return crb_mul(y) + hb * y
-
-      xd = mmul0(qminv, qfrc)
-      rr = qfrc - mhb(xd)
-      z = mmul0(qminv, rr)
-      pp = z
-      rz = rsum(rr * z)
-      for _ in range(6):
-        Ap = mhb(pp)
-        alpha = rz / jnp.maximum(rsum(pp * Ap), 1e-30)
-        xd = xd + alpha[None, :] * pp
-        rr = rr - alpha[None, :] * Ap
-        z = mmul0(qminv, rr)
-        rz_new = rsum(rr * z)
-        pp = z + (rz_new / jnp.maximum(rz, 1e-30))[None, :] * pp
-        rz = rz_new
-      qacc_int = xd
-
-    qvel_new = qvel + H * qacc_int
-    qpos_new = qpos + mxu(C["QVH"][:], qvel_new)
-    if has_free:
-      fq, fv = st2.fqadr, st2.fvadr
-      q0 = [qpos[fq + 3 + k:fq + 4 + k] for k in range(4)]
-      wv = [qvel_new[fv + 3 + k:fv + 4 + k] for k in range(3)]
-      nrm = jnp.sqrt(wv[0] * wv[0] + wv[1] * wv[1] + wv[2] * wv[2])
-      half = 0.5 * nrm * H
-      s = jnp.sin(half) / jnp.maximum(nrm, 1e-12)
-      dq = [jnp.cos(half), wv[0] * s, wv[1] * s, wv[2] * s]
-      qn = [
-          q0[0] * dq[0] - q0[1] * dq[1] - q0[2] * dq[2] - q0[3] * dq[3],
-          q0[0] * dq[1] + q0[1] * dq[0] + q0[2] * dq[3] - q0[3] * dq[2],
-          q0[0] * dq[2] - q0[1] * dq[3] + q0[2] * dq[0] + q0[3] * dq[1],
-          q0[0] * dq[3] + q0[1] * dq[2] - q0[2] * dq[1] + q0[3] * dq[0],
-      ]
-      qnn = jnp.sqrt(qn[0] * qn[0] + qn[1] * qn[1] + qn[2] * qn[2]
-                     + qn[3] * qn[3])
-      quat = jnp.concatenate([qn[k] / qnn for k in range(4)], axis=0)
-      qpos_new = (qpos_new * (1.0 - C["QMASKC"][:])
-                  + mxu(C["PQ"][:], quat))
-
-    # ================= outputs =================
-    o_com[:] = jnp.concatenate(com, axis=0)
-    o_cin[:] = jnp.concatenate(cin, axis=0)
-    o_cdof[:] = jnp.concatenate(cdof, axis=0)
-    o_cvel[:] = jnp.concatenate(cvel, axis=0)
-    o_cdofdot[:] = jnp.concatenate(cdof_dot, axis=0)
-    o_bias[:] = qfrc_bias
-    o_spring[:] = qfrc_spring
-    o_damper[:] = qfrc_damper
-    o_passive[:] = qfrc_passive
-    o_alen[:] = alen
-    o_avel[:] = avel
-    o_afrc[:] = force
-    o_actdot[:] = act_dot
-    o_qfa[:] = qfrc_actuator
-    o_qfs[:] = qfs
-    o_qaccs[:] = qacc_smooth
-    o_qacc[:] = x
-    o_qfc[:] = qfrc_constraint
-    o_flim[:] = force_efc[:nlimit]
-    o_fcon[:] = force_efc[nlimit:]
-    o_qpos[:] = qpos_new
-    o_qvel[:] = qvel_new
-    o_act[:] = actv + H * act_dot if has_act else actv
-
-  from jax.experimental import pallas as pl
-  from jax.experimental.pallas import tpu as pltpu
+    vals = _emit_dynamics(
+        m, ablate, C, scr, qpos_ref[:], qvel_ref[:], act_ref[:],
+        ctrl_ref[:], qfa_ref[:], xip, R, axj, anj, xfree,
+        cdist_ref[:], cposc, frame_ref[:])
+    _write_outputs(outs, vals, nlimit)
 
   in_rows = [nq, np_, na_p, max(nu, 1), np_,
              3 * nbody, 9 * nbody, 3 * Js, 3 * Js, 12,
@@ -1057,3 +1145,245 @@ def fused_full_entry(m: Model):
 
 # v1-compat shim: number of outputs for vmap bookkeeping
 N_OUT = 22
+
+
+# ---------------------------------------------------------------------------
+# v3: whole-control-step kernel — kinematics + collision + dynamics +
+# integration, n_frames substeps looped INSIDE the kernel
+# ---------------------------------------------------------------------------
+
+
+def eligible_steps(m: Model) -> bool:
+  """v3 envelope: v2 + in-kernel FK (scalar/free joints — implied by
+  v2) + supported collision narrow-phase."""
+  if os.environ.get("BRR_NO_FUSED3"):
+    return False
+  if not eligible_full(m):
+    return False
+  from brax_rodent_run_tpu.ops import coll as coll_mod
+  return coll_mod.collision_supported(m) and m.ncon_max > 0
+
+
+@functools.lru_cache(maxsize=8)
+def _kernel_steps(m: Model, n_frames: int, interpret: bool = False):
+  """One kernel per 128-env block for a FULL control step: the substep
+  body (FK -> narrow-phase -> dynamics -> Euler) runs n_frames times via
+  lax.fori_loop over a (qpos, qvel, act) carry; only the LAST substep
+  emits outputs. The only HBM traffic per control step is the tiny
+  state in and the forward products of the final substep out."""
+  from jax.experimental import pallas as pl
+  from jax.experimental.pallas import tpu as pltpu
+  from brax_rodent_run_tpu.ops import coll as coll_mod
+  from brax_rodent_run_tpu.ops import fk as fk_mod
+  from brax_rodent_run_tpu.ops.fk import _qmul, _qrot, quat_to_mat9
+
+  sc = _scalars(m)
+  st2 = statics2(m)
+  nbody, Js, np_, ncon, nc3 = sc.nbody, sc.Js, sc.np_, sc.ncon, sc.nc3
+  nq, nu, na_p, nlimit, ncr = sc.nq, sc.nu, sc.na_p, sc.nlimit, sc.ncr
+  E = _LANES
+  cnames, cvals = _build_consts(m)
+  fb = int(m.jnt_bodyid[st2.free_j]) if sc.has_free else 0
+
+  out_rows = [3 * nbody, 10 * nbody, 6 * np_, 6 * nbody, 6 * np_,
+              np_, np_, np_, np_, nu, nu, nu, na_p, np_, np_, np_,
+              np_, np_, nlimit, ncr, nq, np_, na_p,
+              nq, ncon, 3 * ncon, 3 * nc3]
+
+  def kernel(*refs):
+    C = {k: r for k, r in zip(cnames, refs[:len(cnames)])}
+    (qpos_ref, qvel_ref, act_ref, ctrl_ref, qfa_ref) = \
+        refs[len(cnames):len(cnames) + 5]
+    outs = refs[len(cnames) + 5:len(cnames) + 5 + len(out_rows)]
+    scr = refs[len(cnames) + 5 + len(out_rows):]
+    ctrl = ctrl_ref[:]
+    qfa = qfa_ref[:]
+
+    def sub(qpos, qvel, actv):
+      xpos, xquat, xanchor, xaxis = fk_mod.emit_kinematics(m, C, qpos)
+      cdist, cposc, frame3 = coll_mod.emit_collision(m, C, xpos, xquat)
+      frame = jnp.concatenate(frame3, axis=0)
+      BT2 = C["BT2"][:]
+      ipos = [BT2[:, c:c + 1] for c in range(3)]
+      iquat = [BT2[:, 3 + c:4 + c] for c in range(4)]
+      rotip = _qrot(xquat, ipos)
+      xip = [xpos[c] + rotip[c] for c in range(3)]
+      R9 = quat_to_mat9(_qmul(xquat, iquat))
+      R = [[R9[3 * a + b] for b in range(3)] for a in range(3)]
+      SJG = C["SJG"][:]
+      axj = [jax.lax.dot_general(SJG, xaxis[c], (((1,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+             for c in range(3)]
+      anj = [jax.lax.dot_general(SJG, xanchor[c], (((1,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+             for c in range(3)]
+      if sc.has_free:
+        xpb = [xpos[c][fb:fb + 1] for c in range(3)]
+        xmf = quat_to_mat9([xquat[c][fb:fb + 1] for c in range(4)])
+        xfree = (xpb, [[xmf[3 * a + b] for b in range(3)]
+                       for a in range(3)])
+      else:
+        xfree = None
+      vals = _emit_dynamics(m, "", C, scr, qpos, qvel, actv, ctrl, qfa,
+                            xip, R, axj, anj, xfree, cdist, cposc, frame)
+      return vals, (cdist, cposc, frame)
+
+    qpos0 = qpos_ref[:]
+    qvel0 = qvel_ref[:]
+    act0 = act_ref[:]
+
+    if n_frames > 1:
+      def body(i, carry):
+        qpos, qvel, actv = carry
+        vals, _ = sub(qpos, qvel, actv)
+        return (vals[19], vals[20], vals[21])
+
+      qpos0, qvel0, act0 = jax.lax.fori_loop(
+          0, n_frames - 1, body, (qpos0, qvel0, act0))
+
+    vals, (cdist, cposc, frame) = sub(qpos0, qvel0, act0)
+    _write_outputs(outs[:23], vals, nlimit)
+    outs[23][:] = qpos0                    # pre-integration qpos (last)
+    outs[24][:] = cdist
+    outs[25][:] = jnp.concatenate(cposc, axis=0)
+    outs[26][:] = frame
+
+  in_rows = [nq, np_, na_p, max(nu, 1), np_]
+
+  def call(*arrs):
+    B = arrs[0].shape[-1]
+    grid = (B // E,)
+    spec = lambda rows: pl.BlockSpec(
+        (rows, E), lambda i: (0, i), memory_space=pltpu.VMEM)
+
+    def const_spec(shape):
+      return pl.BlockSpec(shape, lambda i: (0,) * len(shape),
+                          memory_space=pltpu.VMEM)
+
+    out_shape = tuple(
+        jax.ShapeDtypeStruct((r, B), jnp.float32) for r in out_rows)
+    return pl.pallas_call(
+        kernel,
+        out_shape=out_shape,
+        grid=grid,
+        in_specs=[const_spec(np.asarray(c).shape) for c in cvals] + [
+            spec(r) for r in in_rows],
+        out_specs=tuple(spec(r) for r in out_rows),
+        scratch_shapes=[pltpu.VMEM((np_, np_, E), jnp.float32),
+                        pltpu.VMEM((np_, np_, E), jnp.float32),
+                        pltpu.VMEM((np_, np_, E), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=128 * 1024 * 1024),
+        interpret=interpret,
+    )(*cvals, *arrs)
+
+  return call
+
+
+def _core_steps(m: Model, n_frames: int, qpos, qvel, act, ctrl,
+                qfrc_applied):
+  """Semantic reference for the v3 kernel: n_frames stage-pipeline
+  substeps (sensors skipped — the env computes them outside), returning
+  the last substep's products + final state + pre-integration qpos +
+  contact data."""
+  from brax_rodent_run_tpu.physics import forward as forward_mod
+  from brax_rodent_run_tpu.physics.types import make_data
+
+  d = make_data(m, dtype=qpos.dtype)
+  d = d.replace(qpos=qpos, qvel=qvel, act=act, ctrl=ctrl,
+                qfrc_applied=qfrc_applied)
+  for _ in range(n_frames - 1):
+    d = forward_mod.euler(m, forward_mod.forward(m, d, sensors=False))
+  qpos_pre = d.qpos
+  df = forward_mod.forward(m, d, sensors=False)
+  de = forward_mod.euler(m, df)
+  return (df.subtree_com, df.cinert, df.cdof, df.cvel, df.cdof_dot,
+          df.qfrc_bias, df.qfrc_spring, df.qfrc_damper, df.qfrc_passive,
+          df.actuator_length, df.actuator_velocity, df.actuator_force,
+          df.act_dot, df.qfrc_actuator, df.qfrc_smooth, df.qacc_smooth,
+          df.qacc, df.qfrc_constraint, df.efc_force,
+          de.qpos, de.qvel, de.act,
+          qpos_pre, df.contact.dist, df.contact.pos, df.contact.frame)
+
+
+def fused_steps_batched(m: Model, n_frames: int, qpos, qvel, act, ctrl,
+                        qfrc_applied):
+  """Batched whole-control-step: (B, ...) state in -> 26-tuple out."""
+  sc = _scalars(m)
+  B = qpos.shape[0]
+  E = _LANES
+  Bp = _round_up(max(B, E), E)
+  np_, na_p = sc.np_, sc.na_p
+  nv, ncon, nc3, nbody = sc.nv, sc.ncon, sc.nc3, sc.nbody
+
+  def prep(x):
+    perm = tuple(range(1, x.ndim)) + (0,)
+    y = jnp.transpose(x, perm)
+    if y.ndim > 2:
+      y = y.reshape(-1, y.shape[-1])
+    pad = [(0, 0)] * (y.ndim - 1) + [(0, Bp - B)]
+    return jnp.pad(y, pad)
+
+  def pad_last(x, n):
+    return jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, n - x.shape[-1])])
+
+  actp = pad_last(act, na_p) if m.na else jnp.zeros((B, na_p), qpos.dtype)
+  ctrlp = ctrl if m.nu else jnp.zeros((B, 1), qpos.dtype)
+  arrs = [prep(qpos), prep(pad_last(qvel, np_)), prep(actp), prep(ctrlp),
+          prep(pad_last(qfrc_applied, np_))]
+
+  out = _kernel_steps(m, n_frames, FORCE_INTERPRET)(*arrs)
+  unprep = lambda y: jnp.moveaxis(y, -1, 0)[:B]
+  (com, cinr, cdof, cvel, cdofdot, bias, spring, damper, passive,
+   alen, avel, afrc, actdot, qfa_out, qfs, qaccs, qacc, qfc,
+   flim, fcon, qpos_n, qvel_n, act_n,
+   qpos_pre, cdist, cpos, cframe) = map(unprep, out)
+
+  def comp_major(y, ncomp, n):
+    return jnp.swapaxes(y.reshape(B, ncomp, n), -1, -2)
+
+  # comp_major gives (B, nc3, 3 comps k); nc3 rows are (c,d) row-major
+  # -> (B, ncon, d, k), matching Contact.frame's [n; t1; t2] rows
+  frame = comp_major(cframe, 3, nc3).reshape(B, ncon, 3, 3)
+  return (
+      comp_major(com, 3, nbody),
+      comp_major(cinr, 10, nbody),
+      comp_major(cdof, 6, np_)[:, :nv],
+      comp_major(cvel, 6, nbody),
+      comp_major(cdofdot, 6, np_)[:, :nv],
+      bias[:, :nv], spring[:, :nv], damper[:, :nv], passive[:, :nv],
+      alen[:, :m.nu], avel[:, :m.nu], afrc[:, :m.nu],
+      actdot[:, :m.na] if m.na else jnp.zeros((B, 0), qpos_n.dtype),
+      qfa_out[:, :nv], qfs[:, :nv], qaccs[:, :nv], qacc[:, :nv],
+      qfc[:, :nv],
+      jnp.concatenate([flim, fcon], axis=1),
+      qpos_n, qvel_n[:, :nv],
+      act_n[:, :m.na] if m.na else jnp.zeros((B, 0), qpos_n.dtype),
+      qpos_pre, cdist,
+      comp_major(cpos, 3, ncon),
+      frame,
+  )
+
+
+@functools.lru_cache(maxsize=8)
+def fused_steps_entry(m: Model, n_frames: int):
+  """custom-vmap entry for the whole control step: stage composition
+  unbatched; the v3 kernel when vmapped on TPU f32."""
+
+  @jax.custom_batching.custom_vmap
+  def fused(qpos, qvel, act, ctrl, qfrc_applied):
+    return _core_steps(m, n_frames, qpos, qvel, act, ctrl, qfrc_applied)
+
+  @fused.def_vmap
+  def _fused_vmap(axis_size, in_batched, *args):
+    del axis_size
+    use_kernel = (FORCE_INTERPRET
+                  or (jax.default_backend() == "tpu"
+                      and args[0].dtype == jnp.float32))
+    if use_kernel and all(in_batched):
+      out = fused_steps_batched(m, n_frames, *args)
+    else:
+      out = jax.vmap(lambda *a: _core_steps(m, n_frames, *a))(*args)
+    return out, tuple(True for _ in range(26))
+
+  return fused

@@ -231,3 +231,41 @@ def make_put_data(m: Model, qpos=None, qvel=None, dtype=None) -> Data:
   if qvel is not None:
     d = d.replace(qvel=jnp.asarray(qvel, d.qpos.dtype))
   return forward(m, d)
+
+
+def pipeline_steps_fused(m: Model, d: Data, n_frames: int,
+                         sensors: bool = True) -> Data:
+  """A FULL control step (n_frames substeps) in ONE Pallas kernel call
+  (ops/fused_full.py v3): FK, collision narrow-phase, dynamics and
+  integration loop inside the kernel; XLA only reconstructs the last
+  substep's frame fields from its pre-integration qpos (one kinematics
+  call per CONTROL step) and runs the sensor stages."""
+  from brax_rodent_run_tpu.ops import fused_full as ff
+  from brax_rodent_run_tpu.physics.types import Contact
+
+  (subtree_com, cinert, cdof, cvel, cdof_dot, qfrc_bias, qfrc_spring,
+   qfrc_damper, qfrc_passive, alen, avel, afrc, act_dot, qfrc_actuator,
+   qfrc_smooth, qacc_smooth, qacc, qfrc_constraint, efc_force,
+   qpos_new, qvel_new, act_new,
+   qpos_pre, con_dist, con_pos, con_frame) = ff.fused_steps_entry(
+      m, n_frames)(d.qpos, d.qvel, d.act, d.ctrl, d.qfrc_applied)
+
+  # frame fields of the last substep (pre-integration state)
+  d = smooth.kinematics(m, d.replace(qpos=qpos_pre))
+  moment = jnp.asarray(ff.statics2(m).MOM[:m.nu, :m.nv], d.qpos.dtype)
+  d = d.replace(
+      subtree_com=subtree_com, cinert=cinert, cdof=cdof, cvel=cvel,
+      cdof_dot=cdof_dot, qfrc_bias=qfrc_bias, qfrc_spring=qfrc_spring,
+      qfrc_damper=qfrc_damper, qfrc_passive=qfrc_passive,
+      actuator_length=alen, actuator_velocity=avel, actuator_force=afrc,
+      actuator_moment=moment, act_dot=act_dot,
+      qfrc_actuator=qfrc_actuator, qfrc_smooth=qfrc_smooth,
+      qacc_smooth=qacc_smooth, qacc=qacc,
+      qfrc_constraint=qfrc_constraint, efc_force=efc_force,
+      contact=Contact(dist=con_dist, pos=con_pos, frame=con_frame))
+  if sensors:
+    d = sensor_mod.sensor_vel(m, d)
+    d = sensor_mod.sensor_acc(m, d)
+  h = jnp.asarray(m.opt.timestep, d.qpos.dtype)
+  return d.replace(qpos=qpos_new, qvel=qvel_new, act=act_new,
+                   time=d.time + n_frames * h)

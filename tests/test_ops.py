@@ -410,3 +410,49 @@ def test_collision_kernel_matches_stage(name):
   np.testing.assert_allclose(np.asarray(fr),
                              np.asarray(ref.contact.frame),
                              rtol=1e-4, atol=1e-5, err_msg="frame")
+
+
+_FUSED3_XML = _FUSED2_XML.replace(
+    '<geom name="bgeom" type="box" size="0.05 0.05 0.05" density="800"',
+    '<geom name="bgeom" type="sphere" size="0.05" density="800"')
+
+
+def _fused3_model():
+  import mujoco
+  from brax_rodent_run_tpu.mjcf.from_mj import from_mj_model
+  mj_model = mujoco.MjModel.from_xml_string(_FUSED3_XML)
+  mj_model.opt.jacobian = 0
+  return from_mj_model(mj_model)
+
+
+def test_fused_steps_kernel_matches_core(monkeypatch):
+  """v3 whole-control-step kernel (interpret, n_frames=3 in-kernel
+  loop) == n_frames stage-pipeline substeps. Mini model uses a sphere
+  body (plane-box is outside the v3 narrow-phase envelope; the
+  plane-capsule/ellipsoid paths are covered on the real models by
+  test_collision_kernel_matches_stage)."""
+  monkeypatch.delenv("BRR_NO_FUSED", raising=False)
+  from brax_rodent_run_tpu.ops import fused_full as ff
+
+  m = _fused3_model()
+  assert ff.eligible_steps(m)
+  batch = _fused2_batch(m)
+  n_frames = 3
+
+  args = (batch.qpos, batch.qvel, batch.act, batch.ctrl,
+          batch.qfrc_applied)
+  ref = jax.vmap(lambda *a: ff._core_steps(m, n_frames, *a))(*args)
+  ff.FORCE_INTERPRET = True
+  try:
+    out = ff.fused_steps_batched(m, n_frames, *args)
+  finally:
+    ff.FORCE_INTERPRET = False
+  names = _FF_NAMES + ("qpos_pre", "con_dist", "con_pos", "con_frame")
+  assert len(out) == len(ref) == len(names)
+  for name, a, b in zip(names, out, ref):
+    a, b = np.asarray(a), np.asarray(b)
+    if name == "con_dist":
+      # inactive slots: stage keeps 1e10, kernel layout too — compare
+      # with a cap so the sentinel doesn't swamp the tolerance
+      a, b = np.minimum(a, 1e3), np.minimum(b, 1e3)
+    np.testing.assert_allclose(a, b, rtol=5e-3, atol=5e-3, err_msg=name)
