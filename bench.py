@@ -23,12 +23,10 @@ import numpy as np
 BASELINE_ENV_STEPS_PER_S = 512 * 84.0  # see module docstring
 
 _MODELS = os.path.join(os.path.dirname(os.path.abspath(__file__)), "assets")
-_REF_MODELS = "/root/reference/models"
 
 
 def _model_path(name: str) -> str:
-  local = os.path.join(_MODELS, name)
-  return local if os.path.exists(local) else os.path.join(_REF_MODELS, name)
+  return os.path.join(_MODELS, name)
 
 
 def main(num_envs: int = 2048, steps_per_block: int = 50,
@@ -36,11 +34,11 @@ def main(num_envs: int = 2048, steps_per_block: int = 50,
   import jax
   import jax.numpy as jnp
 
-  from brax_rodent_run_tpu.mjcf.from_mj import load_mj_path
+  from brax_rodent_run_tpu.mjcf import load_model
   from brax_rodent_run_tpu.envs.rodent import Rodent
   from brax_rodent_run_tpu.envs.wrappers import wrap_for_training
 
-  m = load_mj_path(_model_path("rodent_new.xml"), solver="cg",
+  m = load_model(_model_path("rodent_new.xml"), solver="cg",
                    iterations=8, ls_iterations=8)
   track = jnp.asarray(
       np.cumsum(np.tile(np.array([[0.002, 0.0, 0.0]]), (260, 1)), axis=0),

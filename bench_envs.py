@@ -25,20 +25,18 @@ import numpy as np
 
 _HERE = os.path.dirname(os.path.abspath(__file__))
 _MODELS = os.path.join(_HERE, "assets")
-_REF_MODELS = "/root/reference/models"
 
 
 def model_path(name: str) -> str:
-  local = os.path.join(_MODELS, name)
-  return local if os.path.exists(local) else os.path.join(_REF_MODELS, name)
+  return os.path.join(_MODELS, name)
 
 
 def build_env(args):
   import jax.numpy as jnp
-  from brax_rodent_run_tpu.mjcf.from_mj import load_mj_path
+  from brax_rodent_run_tpu.mjcf import load_model
   from brax_rodent_run_tpu import envs
 
-  m = load_mj_path(model_path(args.model), solver="cg", iterations=8,
+  m = load_model(model_path(args.model), solver="cg", iterations=8,
                    ls_iterations=8)
   kwargs = {}
   if args.env == "rodent":

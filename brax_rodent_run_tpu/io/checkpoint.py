@@ -14,6 +14,7 @@ resume exactly.
 
 from __future__ import annotations
 
+import os
 import pickle
 from typing import Any
 
@@ -22,9 +23,15 @@ from flax import serialization
 
 
 def save_params(path: str, params: Any) -> None:
-  """Serialize a params pytree to a single file (brax.io.model contract)."""
-  with open(path, "wb") as f:
+  """Serialize a params pytree to a single file (brax.io.model contract).
+
+  Atomic: writes to a temp file in the same directory then os.replace()s
+  it over the target, so a crash mid-write never destroys the previous
+  checkpoint (the only resume state when overwriting in place)."""
+  tmp = path + ".tmp"
+  with open(tmp, "wb") as f:
     f.write(pickle.dumps(jax.device_get(params)))
+  os.replace(tmp, path)
 
 
 def load_params(path: str, target: Any = None) -> Any:

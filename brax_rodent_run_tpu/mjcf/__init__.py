@@ -13,9 +13,17 @@ from brax_rodent_run_tpu.mjcf.parser import load_xml, load_xml_string
 
 
 def load_model(path: str, **opt_overrides):
-  """Load an MJCF file with the native compiler; fall back to the MuJoCo
-  interop path for constructs the native compiler doesn't cover yet."""
-  try:
-    return load_xml(path, **opt_overrides)
-  except Exception:
-    return load_mj_path(path, **opt_overrides)
+  """Load an MJCF file with the native compiler.
+
+  The MuJoCo interop escape hatch is opt-in (BRR_MJCF_FALLBACK=1) and
+  logged — a silent fallback would make native-compiler regressions
+  invisible on production paths."""
+  import os
+  if os.environ.get("BRR_MJCF_FALLBACK"):
+    try:
+      return load_xml(path, **opt_overrides)
+    except Exception as e:
+      print(f"[mjcf] native compiler failed on {path} ({e!r}); "
+            "falling back to MuJoCo interop (BRR_MJCF_FALLBACK=1)")
+      return load_mj_path(path, **opt_overrides)
+  return load_xml(path, **opt_overrides)

@@ -100,25 +100,33 @@ class Evaluator:
       state = batched_reset(reset_keys)
 
       def step(carry, _):
-        state, key, ep_reward, ep_len, active = carry
+        state, key, ep_reward, ep_len, ep_metrics, active = carry
         key, akey = jax.random.split(key)
         akeys = jax.random.split(akey, num_eval_envs)
         action, _ = jax.vmap(policy)(state.obs, akeys)
         nstate = batched_step(state, action)
         ep_reward = ep_reward + nstate.reward * active
         ep_len = ep_len + active
+        # custom State.metrics masked by episode activity, matching
+        # brax's EvalWrapper — steps after done must not inflate
+        # eval/episode_* for early-terminating episodes
+        ep_metrics = {k: ep_metrics[k] + v * active
+                      for k, v in nstate.metrics.items()}
         active = active * (1.0 - nstate.done)
-        return (nstate, key, ep_reward, ep_len, active), nstate.metrics
+        return (nstate, key, ep_reward, ep_len, ep_metrics, active), None
 
       zeros = jnp.zeros((num_eval_envs,))
-      (state, _, ep_reward, ep_len, _), metrics = jax.lax.scan(
-          step, (state, key, zeros, zeros, jnp.ones((num_eval_envs,))),
+      metric_zeros = {k: jnp.zeros((num_eval_envs,))
+                      for k in state.metrics.keys()}
+      (state, _, ep_reward, ep_len, ep_metrics, _), _ = jax.lax.scan(
+          step, (state, key, zeros, zeros, metric_zeros,
+                 jnp.ones((num_eval_envs,))),
           (), length=self._eval_steps)
       out = {"eval/episode_reward": jnp.mean(ep_reward),
              "eval/episode_reward_std": jnp.std(ep_reward),
              "eval/avg_episode_length": jnp.mean(ep_len)}
-      for k, v in metrics.items():
-        out[f"eval/episode_{k}"] = jnp.mean(jnp.sum(v, axis=0))
+      for k, v in ep_metrics.items():
+        out[f"eval/episode_{k}"] = jnp.mean(v)
       return out
 
     self._eval_fn = jax.jit(eval_fn)

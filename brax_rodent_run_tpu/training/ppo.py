@@ -92,6 +92,7 @@ def train(
     checkpoint_path: Optional[str] = None,
     restore_checkpoint_path: Optional[str] = None,
     profile_dir: Optional[str] = None,
+    spmd_mode: str = "shard_map",
 ):
   """Train PPO on ``environment``; see module docstring for the contract."""
   if mesh is None:
@@ -193,9 +194,16 @@ def train(
         lambda x: x.reshape((-1,) + x.shape[2:]), data)
     final_obs = final_obs.reshape((-1,) + final_obs.shape[2:])
 
-    normalizer_state = rs.update(ts.normalizer_state,
-                                 data.observation.reshape((-1, obs_size)),
-                                 pmap_axis_name=_AXIS)
+    if normalize_observations:
+      normalizer_state = rs.update(ts.normalizer_state,
+                                   data.observation.reshape((-1, obs_size)),
+                                   pmap_axis_name=_AXIS)
+    else:
+      # identity normalizer: state stays at init (mean 0, std 1), so
+      # rs.normalize is a no-op everywhere it is applied (reference
+      # semantics: normalize_observations is a real choice,
+      # brax_rodent_run_ppo.py:103)
+      normalizer_state = ts.normalizer_state
 
     (optimizer_state, params, _, _, _), sgd_metrics = jax.lax.scan(
         sgd_epoch,
@@ -217,16 +225,38 @@ def train(
   # (axon) executions that long crash the TPU worker, and the host loop
   # costs only ~ms of dispatch per ~1.3 s step. Math is identical: the
   # scan carried (ts, env_state, key) exactly as the loop does.
-  @functools.partial(
-      shard_map, mesh=mesh,
-      in_specs=(P(), P(_AXIS), P()),
-      out_specs=(P(), P(_AXIS), P()),
-      check_vma=False)
-  def one_training_step(ts: TrainingState, env_state, key: jax.Array):
+  def _step_body(ts: TrainingState, env_state, key: jax.Array):
+    """Per-shard body: identical math under shard_map (production) and
+    vmap-with-axis-name (the semantic reference used by the parity test)."""
     key = jax.random.fold_in(key, jax.lax.axis_index(_AXIS))
     (ts, env_state, _), metrics = training_step((ts, env_state, key), None)
     metrics = jax.lax.pmean(jax.tree_util.tree_map(jnp.mean, metrics), _AXIS)
     return ts, env_state, metrics
+
+  if spmd_mode == "shard_map":
+    one_training_step = functools.partial(
+        shard_map, mesh=mesh,
+        in_specs=(P(), P(_AXIS), P()),
+        out_specs=(P(), P(_AXIS), P()),
+        check_vma=False)(_step_body)
+  else:
+    # "vmap": emulate the num_devices-shard SPMD program on however many
+    # real devices exist by vmapping the same body over a leading shard
+    # axis; psum/pmean resolve over the vmapped axis name. Bit-compatible
+    # with the shard_map program — the distributed-parity test relies on
+    # exactly this equivalence.
+    assert spmd_mode == "vmap", spmd_mode
+
+    def one_training_step(ts, env_state, key):
+      shards = jax.tree_util.tree_map(
+          lambda x: x.reshape((num_devices, -1) + x.shape[1:]), env_state)
+      ts_o, es_o, metrics = jax.vmap(
+          _step_body, in_axes=(None, 0, None), out_axes=0,
+          axis_name=_AXIS)(ts, shards, key)
+      take0 = lambda x: jax.tree_util.tree_map(lambda l: l[0], x)
+      es_o = jax.tree_util.tree_map(
+          lambda x: x.reshape((-1,) + x.shape[2:]), es_o)
+      return take0(ts_o), es_o, take0(metrics)
 
   one_training_step = jax.jit(one_training_step, donate_argnums=(1,))
 
@@ -258,8 +288,17 @@ def train(
   ts = _strip_weak(ts)
 
   env_sharding = NamedSharding(mesh, P(_AXIS))
-  reset_keys = jax.random.split(env_key, num_envs)
-  env_state = jax.jit(env.reset, out_shardings=env_sharding)(reset_keys)
+  # Multi-host-correct reset: every process derives the SAME global key
+  # array deterministically, then contributes only its host-local shard —
+  # the assembled global jax.Array is sharded over the mesh's data axis
+  # (a plain global-sized array here would be wrong with num_processes>1).
+  from brax_rodent_run_tpu.parallel import mesh as mesh_mod
+  all_keys = np.asarray(jax.device_get(jax.random.split(env_key, num_envs)))
+  local_sl = mesh_mod.local_batch_slice(mesh, num_envs)
+  reset_keys = mesh_mod.host_local_array(
+      mesh, (num_envs,) + all_keys.shape[1:], all_keys[local_sl])
+  env_state = jax.jit(env.reset, in_shardings=env_sharding,
+                      out_shardings=env_sharding)(reset_keys)
 
   # ---- full train-state resume (params + optimizer + normalizer + env
   # state + rng + step — the gap SURVEY.md §5 "Checkpoint / resume" flags:

@@ -40,7 +40,7 @@ def main(argv=None):
 
   from brax_rodent_run_tpu import envs
   from brax_rodent_run_tpu.io import checkpoint as ckpt
-  from brax_rodent_run_tpu.mjcf.from_mj import load_mj_path
+  from brax_rodent_run_tpu.mjcf import load_model
   from brax_rodent_run_tpu.training import networks as ppo_networks
   from brax_rodent_run_tpu.utils.config import Config
   from train_rodent import get_clip, model_path
@@ -48,7 +48,7 @@ def main(argv=None):
   cfg = Config.from_file(args.config) if args.config else Config()
   cfg = cfg.apply_overrides(args.overrides)
 
-  model = load_mj_path(model_path(cfg.env.model_xml), solver=cfg.env.solver,
+  model = load_model(model_path(cfg.env.model_xml), solver=cfg.env.solver,
                        iterations=cfg.env.iterations,
                        ls_iterations=cfg.env.ls_iterations)
   env_kwargs = {}

@@ -40,15 +40,11 @@ jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-REFERENCE_MODELS = "/root/reference/models"
 import pathlib  # noqa: E402
 
 _LOCAL_MODELS = pathlib.Path(__file__).resolve().parent.parent / "assets"
 
 
 def model_path(name: str) -> str:
-  """Prefer repo-local assets; fall back to the read-only reference mount."""
-  local = _LOCAL_MODELS / name
-  if local.exists():
-    return str(local)
-  return os.path.join(REFERENCE_MODELS, name)
+  """Repo-owned model assets (vendored in assets/, see assets/PROVENANCE.md)."""
+  return str(_LOCAL_MODELS / name)

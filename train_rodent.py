@@ -31,12 +31,10 @@ import numpy as np
 
 _HERE = os.path.dirname(os.path.abspath(__file__))
 _MODELS = os.path.join(_HERE, "assets")
-_REF_MODELS = "/root/reference/models"
 
 
 def model_path(name: str) -> str:
-  local = os.path.join(_MODELS, name)
-  return local if os.path.exists(local) else os.path.join(_REF_MODELS, name)
+  return os.path.join(_MODELS, name)
 
 
 def synthetic_walk_qpos(model, n_frames: int = 250,
@@ -58,13 +56,25 @@ def synthetic_walk_qpos(model, n_frames: int = 250,
   return qpos
 
 
+def _clip_cache_path(cfg) -> str:
+  """Cache filename keyed by everything that determines the clip contents
+  (not just clip_idx — a changed stac_path/clip_length/rescale_factor or a
+  synthetic-fallback run must not silently reuse a stale cache)."""
+  import hashlib
+  synthetic = not os.path.exists(cfg.clip.stac_path)
+  key = (cfg.clip.stac_path, cfg.clip.clip_length, cfg.clip.rescale_factor,
+         synthetic)
+  h = hashlib.sha1(repr(key).encode()).hexdigest()[:8]
+  return os.path.join(cfg.clip.cache_dir, f"{cfg.clip.clip_idx}_{h}.p")
+
+
 def get_clip(cfg, model):
   """Cached ReferenceClip (brax_rodent_run_ppo.py:59-77 semantics)."""
   from brax_rodent_run_tpu.preprocessing import clips as clips_mod
   from brax_rodent_run_tpu.preprocessing.rescale import rescale_model
 
   os.makedirs(cfg.clip.cache_dir, exist_ok=True)
-  cache = os.path.join(cfg.clip.cache_dir, f"{cfg.clip.clip_idx}.p")
+  cache = _clip_cache_path(cfg)
   if os.path.exists(cache):
     return clips_mod.load_clip_pickle(cache)
   if os.path.exists(cfg.clip.stac_path):
@@ -121,7 +131,13 @@ def main(argv=None):
   env_kwargs = {}
   if cfg.env.env_name == "rodent":
     clip = get_clip(cfg, model)
-    env_kwargs["track_pos"] = jnp.asarray(clip.position)
+    env_kwargs.update(
+        track_pos=jnp.asarray(clip.position),
+        healthy_z_range=tuple(cfg.env.healthy_z_range),
+        terminate_when_unhealthy=cfg.env.terminate_when_unhealthy,
+        reset_noise_scale=cfg.env.reset_noise_scale,
+        fix_quirks=cfg.env.fix_quirks,
+    )
   else:
     clip = None
   env = envs.get_environment(
