@@ -39,6 +39,8 @@ _MAX_POINTS = {
     (_CAPSULE, _ELLIPSOID): 1,
     (_CAPSULE, _BOX): 2,
     (_ELLIPSOID, _ELLIPSOID): 1,
+    (_ELLIPSOID, _BOX): 1,
+    (_BOX, _BOX): 1,
 }
 
 

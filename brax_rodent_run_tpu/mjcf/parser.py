@@ -417,6 +417,8 @@ class Parser:
                         ("limit", DisableBit.LIMIT),
                         ("contact", DisableBit.CONTACT),
                         ("passive", DisableBit.PASSIVE),
+                        ("spring", DisableBit.SPRING),
+                        ("damper", DisableBit.DAMPER),
                         ("gravity", DisableBit.GRAVITY),
                         ("clampctrl", DisableBit.CLAMPCTRL),
                         ("warmstart", DisableBit.WARMSTART),

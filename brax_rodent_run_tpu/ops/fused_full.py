@@ -153,8 +153,9 @@ def statics2(m: Model) -> _Statics2:
   DAMP = np.zeros((np_, 1))
   KSEL = np.zeros((np_, nq))
   KCONST = np.zeros((np_, 1))
-  if not (m.opt.disableflags & DisableBit.PASSIVE):
+  if not (m.opt.disableflags & DisableBit.DAMPER):
     DAMP[:nv, 0] = m.dof_damping
+  if not (m.opt.disableflags & DisableBit.SPRING):
     for j in range(m.njnt):
       stiff = float(m.jnt_stiffness[j])
       if stiff == 0.0 or int(m.jnt_type[j]) == JointType.FREE:

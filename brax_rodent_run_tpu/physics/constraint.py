@@ -34,6 +34,12 @@ _MINIMP = 0.0001
 _MAXIMP = 0.9999
 _MINVAL = 1e-15
 
+# Above this (rows x base-cols) entry count, the static pyramid-composition
+# matrix C is not materialized; the 2-sparse gather/scatter path is used.
+# TPU-facing models (ncon ~ 60) stay comfortably below and keep the
+# MXU-friendly mask-matmul form.
+_C_DENSE_LIMIT = 2_000_000
+
 
 @dataclasses.dataclass(frozen=True)
 class EfcLayout:
@@ -225,14 +231,43 @@ def _op_tables(m: Model):
         dof = int(m.jnt_dofadr[int(m.wrap_jntid[w])])
         J_lim[i, dof] = lay.lim_sign[i] * float(m.wrap_coef[w])
   ncr = lay.ncon_rows
-  C = np.zeros((ncr, 3 * m.ncon_max))
-  if ncr:
-    r = np.arange(ncr)
-    C[r, 3 * lay.con_id] = 1.0
-    has_t = lay.con_diridx > 0
-    C[r[has_t], 3 * lay.con_id[has_t] + lay.con_diridx[has_t]] = \
-        (lay.con_dirsign * lay.con_mu)[has_t]
+  if ncr * 3 * m.ncon_max > _C_DENSE_LIMIT:
+    # contact-heavy models (rodent_cpu: ~23k rows x ~14k base cols would
+    # be GBs): skip the dense composition matrix; callers use the
+    # 2-sparse gather/scatter path instead
+    C = None
+  else:
+    C = np.zeros((ncr, 3 * m.ncon_max))
+    if ncr:
+      r = np.arange(ncr)
+      C[r, 3 * lay.con_id] = 1.0
+      has_t = lay.con_diridx > 0
+      C[r[has_t], 3 * lay.con_id[has_t] + lay.con_diridx[has_t]] = \
+          (lay.con_dirsign * lay.con_mu)[has_t]
   return lay, J_lim, C
+
+
+def _compose_rows(lay, base: jax.Array) -> jax.Array:
+  """Pyramid rows from per-point base rows WITHOUT the dense C matrix:
+  row = normal + dirsign*mu*tangent (2-sparse gather). base: (ncon, 3)
+  or (ncon, 3, nv) -> (ncon_rows,) or (ncon_rows, nv)."""
+  rid = jnp.asarray(lay.con_id, jnp.int32)
+  didx = jnp.asarray(lay.con_diridx, jnp.int32)
+  coef = jnp.asarray(lay.con_dirsign * lay.con_mu, base.dtype)
+  if base.ndim == 2:
+    return base[rid, 0] + coef * base[rid, didx]
+  return base[rid, 0] + coef[:, None] * base[rid, didx]
+
+
+def _decompose_rows(lay, ncon: int, f: jax.Array) -> jax.Array:
+  """Transpose of _compose_rows: (ncon_rows,) -> (ncon, 3) scatter-add."""
+  rid = jnp.asarray(lay.con_id, jnp.int32)
+  didx = jnp.asarray(lay.con_diridx, jnp.int32)
+  coef = jnp.asarray(lay.con_dirsign * lay.con_mu, f.dtype)
+  out = jnp.zeros((ncon, 3), f.dtype)
+  out = out.at[rid, 0].add(f)
+  out = out.at[rid, didx].add(coef * f)
+  return out
 
 
 def efc_matvec(m: Model, con_Jbase: jax.Array, x: jax.Array) -> jax.Array:
@@ -243,8 +278,11 @@ def efc_matvec(m: Model, con_Jbase: jax.Array, x: jax.Array) -> jax.Array:
   if lay.nlimit:
     parts.append(jnp.asarray(J_lim, dt) @ x)
   if lay.ncon_rows:
-    base = (con_Jbase @ x).ravel()                   # (3*ncon,)
-    parts.append(jnp.asarray(C, dt) @ base)
+    base = con_Jbase @ x                             # (ncon, 3)
+    if C is None:
+      parts.append(_compose_rows(lay, base))
+    else:
+      parts.append(jnp.asarray(C, dt) @ base.ravel())
   return jnp.concatenate(parts) if len(parts) > 1 else parts[0]
 
 
@@ -256,7 +294,10 @@ def efc_rmatvec(m: Model, con_Jbase: jax.Array, f: jax.Array) -> jax.Array:
   if lay.nlimit:
     out = out + jnp.asarray(J_lim, dt).T @ f[:lay.nlimit]
   if lay.ncon_rows:
-    c = (jnp.asarray(C, dt).T @ f[lay.nlimit:]).reshape(m.ncon_max, 3)
+    if C is None:
+      c = _decompose_rows(lay, m.ncon_max, f[lay.nlimit:])
+    else:
+      c = (jnp.asarray(C, dt).T @ f[lay.nlimit:]).reshape(m.ncon_max, 3)
     out = out + jnp.einsum("cdv,cd->v", con_Jbase, c)
   return out
 
@@ -270,8 +311,11 @@ def dense_efc_J(m: Model, d: Data) -> jax.Array:
   if lay.nlimit:
     blocks.append(jnp.asarray(J_lim, dt))
   if lay.ncon_rows:
-    base = d.con_Jbase.reshape(3 * m.ncon_max, m.nv)
-    blocks.append(jnp.asarray(C, dt) @ base)
+    if C is None:
+      blocks.append(_compose_rows(lay, d.con_Jbase))
+    else:
+      base = d.con_Jbase.reshape(3 * m.ncon_max, m.nv)
+      blocks.append(jnp.asarray(C, dt) @ base)
   return jnp.concatenate(blocks) if len(blocks) > 1 else blocks[0]
 
 
@@ -356,7 +400,11 @@ def make_constraint(m: Model, d: Data) -> Data:
 
     rid = lay.con_id                                       # (nrows,)
     _, _, C = _op_tables(m)
-    vel = jnp.asarray(C, dt) @ (con_Jbase @ d.qvel).ravel()
+    base_vel = con_Jbase @ d.qvel                          # (ncon, 3)
+    if C is None:
+      vel = _compose_rows(lay, base_vel)
+    else:
+      vel = jnp.asarray(C, dt) @ base_vel.ravel()
 
     pos_r = dist[rid]
     margin = jnp.asarray(lay.con_margin, dt)

@@ -390,14 +390,16 @@ def transmission(m: Model, d: Data) -> Data:
 
 def passive(m: Model, d: Data) -> Data:
   dt = d.qpos.dtype
-  if m.opt.disableflags & DisableBit.PASSIVE:
+  spring_on = not (m.opt.disableflags & DisableBit.SPRING)
+  damper_on = not (m.opt.disableflags & DisableBit.DAMPER)
+  if not spring_on and not damper_on:
     z = jnp.zeros(m.nv, dt)
     return d.replace(qfrc_spring=z, qfrc_damper=z, qfrc_passive=z)
 
   qfrc_spring = jnp.zeros(m.nv, dt)
   qpos_spring = _cast(m.qpos_spring, dt)
   for j in range(m.njnt):
-    stiff = float(m.jnt_stiffness[j])
+    stiff = float(m.jnt_stiffness[j]) if spring_on else 0.0
     if stiff == 0.0:
       continue
     jtype = int(m.jnt_type[j])
@@ -414,19 +416,20 @@ def passive(m: Model, d: Data) -> Data:
       qfrc_spring = jax.lax.dynamic_update_slice(
           qfrc_spring, -stiff * rot, (vadr + 3,))
 
-  qfrc_damper = -_cast(m.dof_damping, dt) * d.qvel
+  qfrc_damper = (-_cast(m.dof_damping, dt) * d.qvel if damper_on
+                 else jnp.zeros(m.nv, dt))
 
   # tendon springs/dampers
   if m.ntendon:
-    ts = _cast(m.tendon_stiffness, dt)
-    td = _cast(m.tendon_damping, dt)
     lspring = _cast(m.tendon_lengthspring, dt)
-    below = jnp.minimum(d.ten_length - lspring[:, 0], 0.0)
-    above = jnp.maximum(d.ten_length - lspring[:, 1], 0.0)
-    frc_s = -ts * (below + above)
-    frc_d = -td * d.ten_velocity
-    qfrc_spring = qfrc_spring + d.ten_J.T @ frc_s
-    qfrc_damper = qfrc_damper + d.ten_J.T @ frc_d
+    if spring_on:
+      ts = _cast(m.tendon_stiffness, dt)
+      below = jnp.minimum(d.ten_length - lspring[:, 0], 0.0)
+      above = jnp.maximum(d.ten_length - lspring[:, 1], 0.0)
+      qfrc_spring = qfrc_spring + d.ten_J.T @ (-ts * (below + above))
+    if damper_on:
+      td = _cast(m.tendon_damping, dt)
+      qfrc_damper = qfrc_damper + d.ten_J.T @ (-td * d.ten_velocity)
 
   return d.replace(qfrc_spring=qfrc_spring, qfrc_damper=qfrc_damper,
                    qfrc_passive=qfrc_spring + qfrc_damper)

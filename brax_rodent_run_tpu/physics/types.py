@@ -92,21 +92,28 @@ class SensorType(enum.IntEnum):
 
 
 class DisableBit(enum.IntFlag):
+  """Bit-for-bit match of mujoco.mjtDisableBit (3.x numbering: PASSIVE was
+  split into SPRING and DAMPER, shifting every later bit up by one —
+  getting this wrong silently remaps flags like WARMSTART onto
+  FILTERPARENT when interoperating with mujoco.MjModel.opt.disableflags)."""
   CONSTRAINT = 1 << 0
   EQUALITY = 1 << 1
   FRICTIONLOSS = 1 << 2
   LIMIT = 1 << 3
   CONTACT = 1 << 4
-  PASSIVE = 1 << 5
-  GRAVITY = 1 << 6
-  CLAMPCTRL = 1 << 7
-  WARMSTART = 1 << 8
-  FILTERPARENT = 1 << 9
-  ACTUATION = 1 << 10
-  REFSAFE = 1 << 11
-  SENSOR = 1 << 12
-  MIDPHASE = 1 << 13
+  SPRING = 1 << 5
+  DAMPER = 1 << 6
+  GRAVITY = 1 << 7
+  CLAMPCTRL = 1 << 8
+  WARMSTART = 1 << 9
+  FILTERPARENT = 1 << 10
+  ACTUATION = 1 << 11
+  REFSAFE = 1 << 12
+  SENSOR = 1 << 13
+  MIDPHASE = 1 << 14
   EULERDAMP = 1 << 15
+  # convenience alias (pre-3.x MJCF "passive" flag disables both)
+  PASSIVE = SPRING | DAMPER
 
 
 @dataclasses.dataclass(frozen=True)

@@ -25,6 +25,10 @@ CASES = [
     ("humanoid.xml", "newton", 25, 1e-5),
     ("humanoid.xml", "cg", 25, 1e-5),
     ("rodent_new.xml", "cg", 10, 1e-5),
+    # BASELINE config 1: the full dm_control-style rat — fixed base,
+    # 8 fixed tendons + tendon actuators (rodent_cpu.xml:505-560), 26
+    # active contact excludes (:477-504)
+    ("rodent_cpu.xml", "cg", 10, 1e-5),
 ]
 
 
