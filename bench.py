@@ -32,6 +32,14 @@ def _model_path(name: str) -> str:
 def main(num_envs: int = 2048, steps_per_block: int = 50,
          blocks: int = 4) -> None:
   import jax
+  # persistent compile cache: the 2048-env program compiles in minutes on
+  # this 1-CPU host; driver re-runs should skip straight to execution
+  cache = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                       ".jax_cache")
+  os.makedirs(cache, exist_ok=True)
+  jax.config.update("jax_compilation_cache_dir", cache)
+  jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+  jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
   import jax.numpy as jnp
 
   from brax_rodent_run_tpu.mjcf import load_model

@@ -86,6 +86,14 @@ class Env(abc.ABC):
     # sensordata is only observable at the control-step boundary, so the
     # sensor stages run on the LAST substep only (identical sensordata:
     # every substep's sensors read that substep's own forward products).
+    #
+    # STALE-FIELD CONTRACT (fused path): when the whole control step runs
+    # in one Pallas kernel, only the fields the in-repo envs/sensors read
+    # are emitted; qM/qLD/qMinv, ten_length/ten_velocity/ten_moment, and
+    # efc_D/efc_aref keep their make_data/prior values. Subclasses that
+    # need those fields must set BRR_NO_FUSED3=1 (stage pipeline) or
+    # recompute them from (qpos, qvel). Audited consumers: Rodent,
+    # Humanoid, sensors, training/acting.
     data = data.replace(ctrl=jnp.asarray(action, self._dtype))
 
     from brax_rodent_run_tpu.ops import fused_full as ff

@@ -125,7 +125,11 @@ def efc_layout(m: Model) -> EfcLayout:
         rows = []
         for k in range(s.condim - 1):
           mu_k = s.friction[k]
-          diag = 2.0 * (1.0 + mu_k * mu_k) * iw
+          # mj_makeImpedance pyramidal diagApprox: 2 mu^2 (1 + mu^2) iw
+          # (the mu^2 factor is easy to drop and shows up as a ~mu^2-off
+          # efc_D => wrong constraint softness in the truncated-solver
+          # training regime)
+          diag = 2.0 * mu_k * mu_k * (1.0 + mu_k * mu_k) * iw
           rows.append((1.0, k + 1, mu_k, diag))
           rows.append((-1.0, k + 1, mu_k, diag))
       for sgn, tidx, mu_k, diag in rows:

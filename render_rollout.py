@@ -36,6 +36,10 @@ def main(argv=None):
   args = ap.parse_args(argv)
 
   import jax
+  # honor JAX_PLATFORMS=cpu despite the axon sitecustomize (see
+  # train_rodent.py)
+  if "cpu" in os.environ.get("JAX_PLATFORMS", ""):
+    jax.config.update("jax_platforms", "cpu")
   import jax.numpy as jnp
 
   from brax_rodent_run_tpu import envs

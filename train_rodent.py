@@ -113,6 +113,11 @@ def main(argv=None):
                                     cfg.mesh.process_id or None)
 
   import jax
+  # the axon sitecustomize force-registers the TPU tunnel backend even
+  # when JAX_PLATFORMS=cpu is exported; honor the user's choice before
+  # the first device query (a hung tunnel would stall CPU runs at init)
+  if "cpu" in os.environ.get("JAX_PLATFORMS", ""):
+    jax.config.update("jax_platforms", "cpu")
   import jax.numpy as jnp
   from brax_rodent_run_tpu import envs
   from brax_rodent_run_tpu.io import checkpoint as ckpt
