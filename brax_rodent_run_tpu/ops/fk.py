@@ -44,8 +44,10 @@ class FKStatics:
   sizes: tuple            # L per level
   kmax: tuple             # joint slots per level
   jscatter: list          # per (level, k): (njnt_pad, L) scatter one-hot
-  # free joint
-  free_rows: tuple        # (level_idx, row_within_level, fqadr) or None
+  # free joints: slots (level,k) that contain >=1 free joint get a
+  # (7L, nq) one-hot gather QFSEL (3L pos-comp rows then 4L quat-comp
+  # rows); rows of non-free joints are zero and masked by is_f
+  free_slots: tuple       # slot indices ji with free joints
   nbody: int
   njnt_pad: int
 
@@ -89,7 +91,9 @@ def fk_statics(m: Model):
   kmax = []
   JTAB, JSC = [], []
   QSEL = []                      # per (level,k): (L, nq) one-hot qpos row
-  free_rows = None
+  QFSEL = {}                     # per slot ji with free joints: (7L, nq)
+  free_slots = []
+  ji = 0
   for li, ids in enumerate(levels):
     par = np.asarray(m.body_parentid)[ids]
     r = offs[li]
@@ -113,23 +117,37 @@ def fk_statics(m: Model):
         if h:
           qs[row, qa] = 1.0
       QSEL.append(qs)
+      L = len(ids)
+      fs = np.zeros((7 * L, m.nq), np.float32)
+      any_free = False
       for row, (jj, h) in enumerate(zip(j, has)):
         if h and int(np.asarray(m.jnt_type)[jj]) == JointType.FREE:
-          free_rows = (li, k, row, int(np.asarray(m.jnt_qposadr)[jj]))
+          any_free = True
+          fq = int(np.asarray(m.jnt_qposadr)[jj])
+          for c in range(3):
+            fs[c * L + row, fq + c] = 1.0
+          for c in range(4):
+            fs[(3 + c) * L + row, fq + 3 + c] = 1.0
+      if any_free:
+        QFSEL[ji] = fs
+        free_slots.append(ji)
+      ji += 1
   return FKStatics(GPAR=GPAR, SLVL=SLVL, BODYTAB=BODYTAB, JTAB=JTAB,
                    offsets=tuple(offs), sizes=sizes, kmax=tuple(kmax),
-                   jscatter=JSC, free_rows=free_rows, nbody=nbody,
-                   njnt_pad=njnt_pad), QSEL
+                   jscatter=JSC, free_slots=tuple(free_slots),
+                   nbody=nbody, njnt_pad=njnt_pad), (QSEL, QFSEL)
 
 
 def fk_consts(m: Model):
   """Const dict to merge into a kernel's VMEM inputs (K_ prefix)."""
-  st, QSEL = fk_statics(m)
+  st, (QSEL, QFSEL) = fk_statics(m)
   c = {"K_GPAR": st.GPAR, "K_SLVL": st.SLVL, "K_BODYTAB": st.BODYTAB}
   for i, (t, sc, qs) in enumerate(zip(st.JTAB, st.jscatter, QSEL)):
     c[f"K_JTAB{i}"] = t
     c[f"K_JSC{i}"] = sc
     c[f"K_QSEL{i}"] = qs
+  for i, fs in QFSEL.items():
+    c[f"K_QFSEL{i}"] = fs
   return c
 
 
@@ -206,16 +224,15 @@ def emit_kinematics(m: Model, C, qpos):
       sr = _qrot(quat, jp)
       anchor_s = [pos_s[c] + sr[c] for c in range(3)]
 
-      if st.free_rows is not None and st.free_rows[0] == li and \
-         st.free_rows[1] == k:
-        fq = st.free_rows[3]
-        pos_f = [jnp.broadcast_to(qpos[fq + c:fq + c + 1], (L, E))
-                 for c in range(3)]
-        qf = [qpos[fq + 3 + c:fq + 4 + c] for c in range(4)]
+      if ji in st.free_slots:
+        # per-row free-joint qpos gather (rows of non-free joints are
+        # zero and masked out by is_f below)
+        sel = _MXU(C[f"K_QFSEL{ji}"][:], qpos)       # (7L, E)
+        pos_f = [sel[c * L:(c + 1) * L] for c in range(3)]
+        qf = [sel[(3 + c) * L:(4 + c) * L] for c in range(4)]
         qn = jnp.sqrt(qf[0] * qf[0] + qf[1] * qf[1] + qf[2] * qf[2]
                       + qf[3] * qf[3])
-        quat_f = [jnp.broadcast_to(qf[c] / jnp.maximum(qn, 1e-15), (L, E))
-                  for c in range(4)]
+        quat_f = [qf[c] / jnp.maximum(qn, 1e-15) for c in range(4)]
       else:
         pos_f, quat_f = pos, quat
 

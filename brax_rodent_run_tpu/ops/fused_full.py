@@ -75,12 +75,13 @@ class _Statics2:
   PSC: np.ndarray        # (np_, Js) dof placement
   OB: np.ndarray         # (Js, nbody) one-hot root body per joint
   HSG: np.ndarray        # (Js, 1) is_hinge
-  # free joint (at most one; required <=1 by eligibility)
-  free_j: int            # joint id or -1
-  fvadr: int
-  fqadr: int
-  frootb: int
-  PFREE: np.ndarray      # (np_, 6)
+  # free joints (any number; tuples are per free joint, in jnt order)
+  free_js: tuple         # joint ids
+  fvadrs: tuple          # dof addresses
+  fqadrs: tuple          # qpos addresses
+  frootbs: tuple         # root body per free joint
+  fbodies: tuple         # jnt_bodyid per free joint
+  PFREE: np.ndarray      # (np_, 6*K) dof placement, 6 cols per free joint
   # passive
   DAMP: np.ndarray       # (np_, 1)
   KSEL: np.ndarray       # (np_, nq) -stiff one-hot
@@ -141,13 +142,13 @@ def statics2(m: Model) -> _Statics2:
 
   free = [j for j in range(m.njnt)
           if int(m.jnt_type[j]) == JointType.FREE]
-  free_j = free[0] if free else -1
-  fvadr = int(m.jnt_dofadr[free_j]) if free else 0
-  fqadr = int(m.jnt_qposadr[free_j]) if free else 0
-  frootb = int(m.body_rootid[m.jnt_bodyid[free_j]]) if free else 0
-  PFREE = np.zeros((np_, 6))
-  if free:
-    PFREE[fvadr:fvadr + 6, :] = np.eye(6)
+  fvadrs = tuple(int(m.jnt_dofadr[j]) for j in free)
+  fqadrs = tuple(int(m.jnt_qposadr[j]) for j in free)
+  frootbs = tuple(int(m.body_rootid[m.jnt_bodyid[j]]) for j in free)
+  fbodies = tuple(int(m.jnt_bodyid[j]) for j in free)
+  PFREE = np.zeros((np_, 6 * max(len(free), 1)))
+  for kf, vadr in enumerate(fvadrs):
+    PFREE[vadr:vadr + 6, 6 * kf:6 * kf + 6] = np.eye(6)
 
   # passive tables
   DAMP = np.zeros((np_, 1))
@@ -212,7 +213,8 @@ def statics2(m: Model) -> _Statics2:
   # integration maps (forward._integrate_pos contract)
   QVH = np.zeros((nq, np_))
   QMASKC = np.zeros((nq, 1))
-  PQ = np.zeros((nq, 4))
+  PQ = np.zeros((nq, 4 * max(len(free), 1)))
+  kf = 0
   for j in range(m.njnt):
     jt = int(m.jnt_type[j])
     qadr, vadr = int(m.jnt_qposadr[j]), int(m.jnt_dofadr[j])
@@ -221,7 +223,8 @@ def statics2(m: Model) -> _Statics2:
     elif jt == JointType.FREE:
       QVH[[qadr, qadr + 1, qadr + 2], [vadr, vadr + 1, vadr + 2]] = h
       QMASKC[qadr + 3:qadr + 7, 0] = 1.0
-      PQ[qadr + 3:qadr + 7] = np.eye(4)
+      PQ[qadr + 3:qadr + 7, 4 * kf:4 * kf + 4] = np.eye(4)
+      kf += 1
 
   return _Statics2(
       v1=st,
@@ -230,7 +233,8 @@ def statics2(m: Model) -> _Statics2:
       CDM=padr(padc(np.asarray(mk.cdof_dot_mask, np.float64), np_), np_),
       DOFSEL=padr(np.eye(nbody)[np.asarray(m.dof_bodyid)], np_),
       BTAB=BTAB, js=js, PSC=PSC, OB=OB, HSG=HSG,
-      free_j=free_j, fvadr=fvadr, fqadr=fqadr, frootb=frootb, PFREE=PFREE,
+      free_js=tuple(free), fvadrs=fvadrs, fqadrs=fqadrs,
+      frootbs=frootbs, fbodies=fbodies, PFREE=PFREE,
       DAMP=DAMP, KSEL=KSEL, KCONST=KCONST,
       ATAB=ATAB, GL=GL, MOM=MOM, ACTSEL=ACTSEL, CSEL=CSEL, ATAB2=ATAB2,
       na_p=na_p, QVH=QVH, PQ=PQ, QMASKC=QMASKC,
@@ -241,8 +245,8 @@ def statics2(m: Model) -> _Statics2:
 def eligible_full(m: Model) -> bool:
   """v2 envelope: v1 eligibility + scalar-joint-only actuators with
   NONE/FILTER/INTEGRATOR dynamics, FIXED/AFFINE gain, NONE/AFFINE bias,
-  at most one free joint (no spring on it), actnum<=1, no gravcomp-style
-  extras, actuation enabled."""
+  any number of free joints (no spring on them), actnum<=1, no
+  gravcomp-style extras, actuation enabled."""
   if os.environ.get("BRR_NO_FUSED") or os.environ.get("BRR_NO_FUSED2"):
     return False
   if not fused_v1.eligible(m):
@@ -251,8 +255,6 @@ def eligible_full(m: Model) -> bool:
     return False
   free = [j for j in range(m.njnt)
           if int(m.jnt_type[j]) == JointType.FREE]
-  if len(free) > 1:
-    return False
   for j in free:
     if float(m.jnt_stiffness[j]) != 0.0:
       return False
@@ -345,7 +347,8 @@ def _scalars(m: Model):
   n.n_ls = max(int(m.opt.ls_iterations) - 1, 0)
   n.tol = float(m.opt.tolerance) * float(max(n.nv, 1))
   n.H = float(st.h)
-  n.has_free = st2.free_j >= 0
+  n.n_free = len(st2.free_js)
+  n.has_free = n.n_free > 0
   n.has_act = m.na > 0
   n.gravity = st2.gravity
   n.body1_zero = st.body1_zero
@@ -372,7 +375,7 @@ def _build_consts(m: Model):
   tol = float(m.opt.tolerance) * float(max(nv, 1))
   f32 = np.float32
   H = float(st.h)
-  has_free = st2.free_j >= 0
+  has_free = len(st2.free_js) > 0
   has_act = m.na > 0
   gx, gy, gz = st2.gravity
 
@@ -575,26 +578,31 @@ def _emit_dynamics(m: Model, ablate: str, C, scr, qpos, qvel, actv, ctrl,
   cdof = [mxu(C["PSC"][:], angj[c]) for c in range(3)] + \
          [mxu(C["PSC"][:], linj[c]) for c in range(3)]
   if has_free:
-    xpb, xm = xfree
-    rb = st2.frootb
-    of = [com[c][rb:rb + 1] - xpb[c] for c in range(3)]
-    one = jnp.ones_like(xpb[0])
-    zero = jnp.zeros_like(xpb[0])
-    frows = []
-    for c in range(3):          # ang comps: trans rows 0, rot = axes
-      axesc = [xm[c][0], xm[c][1], xm[c][2]]   # axes_k comp c = xmat[c,k]
-      frows.append(jnp.concatenate([zero, zero, zero] + axesc, axis=0))
-    for c in range(3):          # lin comps
-      lrows = []
-      for k in range(3):
-        lrows.append(one if c == k else zero)
-      for k in range(3):
-        axk = [xm[0][k], xm[1][k], xm[2][k]]
-        lr = _cross(axk, of)
-        lrows.append(lr[c])
-      frows.append(jnp.concatenate(lrows, axis=0))
+    # xfree: list of (xpb, xm) per free joint; stack every joint's 6
+    # cdof rows and place them with ONE (np_, 6K) matmul
+    allfrows = [[] for _ in range(6)]
+    for kf, (xpb, xm) in enumerate(xfree):
+      rb = st2.frootbs[kf]
+      of = [com[c][rb:rb + 1] - xpb[c] for c in range(3)]
+      one = jnp.ones_like(xpb[0])
+      zero = jnp.zeros_like(xpb[0])
+      for c in range(3):        # ang comps: trans rows 0, rot = axes
+        axesc = [xm[c][0], xm[c][1], xm[c][2]]  # axes_k comp c = xmat[c,k]
+        allfrows[c].append(
+            jnp.concatenate([zero, zero, zero] + axesc, axis=0))
+      for c in range(3):        # lin comps
+        lrows = []
+        for k in range(3):
+          lrows.append(one if c == k else zero)
+        for k in range(3):
+          axk = [xm[0][k], xm[1][k], xm[2][k]]
+          lr = _cross(axk, of)
+          lrows.append(lr[c])
+        allfrows[3 + c].append(jnp.concatenate(lrows, axis=0))
     for c in range(6):
-      cdof[c] = cdof[c] + mxu(C["PFREE"][:], frows[c])
+      stacked = (allfrows[c][0] if len(allfrows[c]) == 1
+                 else jnp.concatenate(allfrows[c], axis=0))  # (6K, E)
+      cdof[c] = cdof[c] + mxu(C["PFREE"][:], stacked)
   w = cdof[0:3]
   v = cdof[3:6]
 
@@ -928,22 +936,24 @@ def _emit_dynamics(m: Model, ablate: str, C, scr, qpos, qvel, actv, ctrl,
   qvel_new = qvel + H * qacc_int
   qpos_new = qpos + mxu(C["QVH"][:], qvel_new)
   if has_free:
-    fq, fv = st2.fqadr, st2.fvadr
-    q0 = [qpos[fq + 3 + k:fq + 4 + k] for k in range(4)]
-    wv = [qvel_new[fv + 3 + k:fv + 4 + k] for k in range(3)]
-    nrm = jnp.sqrt(wv[0] * wv[0] + wv[1] * wv[1] + wv[2] * wv[2])
-    half = 0.5 * nrm * H
-    s = jnp.sin(half) / jnp.maximum(nrm, 1e-12)
-    dq = [jnp.cos(half), wv[0] * s, wv[1] * s, wv[2] * s]
-    qn = [
-        q0[0] * dq[0] - q0[1] * dq[1] - q0[2] * dq[2] - q0[3] * dq[3],
-        q0[0] * dq[1] + q0[1] * dq[0] + q0[2] * dq[3] - q0[3] * dq[2],
-        q0[0] * dq[2] - q0[1] * dq[3] + q0[2] * dq[0] + q0[3] * dq[1],
-        q0[0] * dq[3] + q0[1] * dq[2] - q0[2] * dq[1] + q0[3] * dq[0],
-    ]
-    qnn = jnp.sqrt(qn[0] * qn[0] + qn[1] * qn[1] + qn[2] * qn[2]
-                   + qn[3] * qn[3])
-    quat = jnp.concatenate([qn[k] / qnn for k in range(4)], axis=0)
+    qrows = []
+    for fq, fv in zip(st2.fqadrs, st2.fvadrs):
+      q0 = [qpos[fq + 3 + k:fq + 4 + k] for k in range(4)]
+      wv = [qvel_new[fv + 3 + k:fv + 4 + k] for k in range(3)]
+      nrm = jnp.sqrt(wv[0] * wv[0] + wv[1] * wv[1] + wv[2] * wv[2])
+      half = 0.5 * nrm * H
+      s = jnp.sin(half) / jnp.maximum(nrm, 1e-12)
+      dq = [jnp.cos(half), wv[0] * s, wv[1] * s, wv[2] * s]
+      qn = [
+          q0[0] * dq[0] - q0[1] * dq[1] - q0[2] * dq[2] - q0[3] * dq[3],
+          q0[0] * dq[1] + q0[1] * dq[0] + q0[2] * dq[3] - q0[3] * dq[2],
+          q0[0] * dq[2] - q0[1] * dq[3] + q0[2] * dq[0] + q0[3] * dq[1],
+          q0[0] * dq[3] + q0[1] * dq[2] - q0[2] * dq[1] + q0[3] * dq[0],
+      ]
+      qnn = jnp.sqrt(qn[0] * qn[0] + qn[1] * qn[1] + qn[2] * qn[2]
+                     + qn[3] * qn[3])
+      qrows.extend(qn[k] / qnn for k in range(4))
+    quat = jnp.concatenate(qrows, axis=0)       # (4K, E)
     qpos_new = (qpos_new * (1.0 - C["QMASKC"][:])
                 + mxu(C["PQ"][:], quat))
 
@@ -988,9 +998,13 @@ def _kernel(m: Model, interpret: bool = False, ablate: str = ""):
     anj = [anj_ref[c * Js:(c + 1) * Js] for c in range(3)]
     if sc.has_free:
       xf = xfree_ref[:]
-      xfree = ([xf[c:c + 1] for c in range(3)],
-               [[xf[3 + 3 * a + b:4 + 3 * a + b] for b in range(3)]
-                for a in range(3)])
+      xfree = []
+      for kf in range(sc.n_free):
+        o = 12 * kf
+        xfree.append((
+            [xf[o + c:o + c + 1] for c in range(3)],
+            [[xf[o + 3 + 3 * a + b:o + 4 + 3 * a + b] for b in range(3)]
+             for a in range(3)]))
     else:
       xfree = None
     cposc = [cpos_ref[c * ncon:(c + 1) * ncon] for c in range(3)]
@@ -1002,7 +1016,8 @@ def _kernel(m: Model, interpret: bool = False, ablate: str = ""):
     _write_outputs(outs, vals, nlimit)
 
   in_rows = [nq, np_, na_p, max(nu, 1), np_,
-             3 * nbody, 9 * nbody, 3 * Js, 3 * Js, 12,
+             3 * nbody, 9 * nbody, 3 * Js, 3 * Js,
+             12 * max(sc.n_free, 1),
              ncon, 3 * ncon, 3 * nc3, 1]
 
   def call(*arrs):
@@ -1072,10 +1087,10 @@ def fused_full_batched(m: Model, qpos, qvel, act, ctrl, qfrc_applied,
     anj = jnp.zeros((B, 3, Js), qpos.dtype)
   axj = pad_last(axj, Js)
   anj = pad_last(anj, Js)
-  if st2.free_j >= 0:
-    fb = int(m.jnt_bodyid[st2.free_j])
+  if st2.free_js:
     xfree = jnp.concatenate(
-        [xpos[:, fb], xmat[:, fb].reshape(B, 9)], axis=1)  # (B, 12)
+        [jnp.concatenate([xpos[:, fb], xmat[:, fb].reshape(B, 9)], axis=1)
+         for fb in st2.fbodies], axis=1)                   # (B, 12K)
   else:
     xfree = jnp.zeros((B, 12), qpos.dtype)
   cpos_cm = jnp.swapaxes(con_pos, -1, -2)                 # (B, 3, ncon)
@@ -1184,7 +1199,6 @@ def _kernel_steps(m: Model, n_frames: int, interpret: bool = False):
   nq, nu, na_p, nlimit, ncr = sc.nq, sc.nu, sc.na_p, sc.nlimit, sc.ncr
   E = _LANES
   cnames, cvals = _build_consts(m)
-  fb = int(m.jnt_bodyid[st2.free_j]) if sc.has_free else 0
 
   out_rows = [3 * nbody, 10 * nbody, 6 * np_, 6 * nbody, 6 * np_,
               np_, np_, np_, np_, nu, nu, nu, na_p, np_, np_, np_,
@@ -1219,10 +1233,12 @@ def _kernel_steps(m: Model, n_frames: int, interpret: bool = False):
                                  preferred_element_type=jnp.float32)
              for c in range(3)]
       if sc.has_free:
-        xpb = [xpos[c][fb:fb + 1] for c in range(3)]
-        xmf = quat_to_mat9([xquat[c][fb:fb + 1] for c in range(4)])
-        xfree = (xpb, [[xmf[3 * a + b] for b in range(3)]
-                       for a in range(3)])
+        xfree = []
+        for fb in st2.fbodies:
+          xpb = [xpos[c][fb:fb + 1] for c in range(3)]
+          xmf = quat_to_mat9([xquat[c][fb:fb + 1] for c in range(4)])
+          xfree.append((xpb, [[xmf[3 * a + b] for b in range(3)]
+                              for a in range(3)]))
       else:
         xfree = None
       vals = _emit_dynamics(m, "", C, scr, qpos, qvel, actv, ctrl, qfa,

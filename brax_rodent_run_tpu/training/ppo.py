@@ -93,6 +93,7 @@ def train(
     restore_checkpoint_path: Optional[str] = None,
     profile_dir: Optional[str] = None,
     spmd_mode: str = "shard_map",
+    epoch_scan: bool = False,
 ):
   """Train PPO on ``environment``; see module docstring for the contract."""
   if mesh is None:
@@ -260,14 +261,37 @@ def train(
 
   one_training_step = jax.jit(one_training_step, donate_argnums=(1,))
 
-  def training_epoch(ts: TrainingState, env_state, key: jax.Array):
-    ms = []
-    for i in range(num_training_steps_per_epoch):
-      ts, env_state, metrics = one_training_step(
-          ts, env_state, jax.random.fold_in(key, i))
-      ms.append(metrics)
-    return ts, env_state, jax.tree_util.tree_map(
-        lambda *xs: jnp.mean(jnp.stack(xs)), *ms)
+  if epoch_scan:
+    # whole epoch as ONE device-side scan over training steps (identical
+    # math: the scan carries (ts, env_state) exactly as the host loop
+    # does, with the same fold_in(key, i) schedule). Default off: on
+    # single-chip tunnel deployments multi-second executions crash the
+    # TPU worker (commit 6599fa5); enable off-tunnel to shave the ~ms
+    # of per-step host dispatch.
+    @functools.partial(jax.jit, donate_argnums=(1,))
+    def _epoch_scan(ts, env_state, key):
+      def body(carry, i):
+        ts, env_state = carry
+        ts, env_state, metrics = one_training_step(
+            ts, env_state, jax.random.fold_in(key, i))
+        return (ts, env_state), metrics
+      (ts, env_state), ms = jax.lax.scan(
+          body, (ts, env_state),
+          jnp.arange(num_training_steps_per_epoch))
+      return ts, env_state, jax.tree_util.tree_map(
+          lambda x: jnp.mean(x, axis=0), ms)
+
+    def training_epoch(ts: TrainingState, env_state, key: jax.Array):
+      return _epoch_scan(ts, env_state, key)
+  else:
+    def training_epoch(ts: TrainingState, env_state, key: jax.Array):
+      ms = []
+      for i in range(num_training_steps_per_epoch):
+        ts, env_state, metrics = one_training_step(
+            ts, env_state, jax.random.fold_in(key, i))
+        ms.append(metrics)
+      return ts, env_state, jax.tree_util.tree_map(
+          lambda *xs: jnp.mean(jnp.stack(xs)), *ms)
 
   # ---------------------------------------------------------------- init
   key = jax.random.PRNGKey(seed)

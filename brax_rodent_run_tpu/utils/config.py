@@ -61,6 +61,10 @@ class PPOConfig:
   normalize_observations: bool = True
   action_repeat: int = 1
   seed: int = 0
+  # device-side lax.scan over the epoch's training steps (identical math
+  # to the host loop; keep False on single-chip tunnel deployments where
+  # multi-second executions crash the worker — ppo.py training_epoch)
+  epoch_scan: bool = False
   # network sizes: brax defaults (SURVEY.md §2.3 PPO row)
   policy_hidden: Tuple[int, ...] = (32, 32, 32, 32)
   value_hidden: Tuple[int, ...] = (256, 256, 256, 256, 256)

@@ -417,6 +417,109 @@ _FUSED3_XML = _FUSED2_XML.replace(
     '<geom name="bgeom" type="sphere" size="0.05" density="800"')
 
 
+# TWO free-floating kinematic trees (rodent_pair.xml shape, VERDICT.md r1
+# #10): exercises the multi-free-joint paths — per-slot FK free gathers,
+# stacked PFREE cdof rows, per-joint quaternion integration
+_PAIR_XML = """
+<mujoco>
+  <option timestep="0.002" solver="CG" iterations="8" ls_iterations="8"/>
+  <worldbody>
+    <geom name="floor" type="plane" size="0 0 1" contype="2" conaffinity="1"/>
+    <body name="boxA" pos="0 0 0.06">
+      <freejoint/>
+      <geom name="geomA" type="sphere" size="0.05" density="800"
+            contype="1" conaffinity="2"/>
+      <body name="armA" pos="0 0 0.05">
+        <joint name="swingA" type="hinge" axis="0 1 0" damping="0.01"
+               limited="true" range="-30 30"/>
+        <geom name="ageomA" type="capsule" size="0.01" fromto="0 0 0 0 0 0.1"
+              contype="0" conaffinity="0"/>
+      </body>
+    </body>
+    <body name="boxB" pos="0.3 0.1 0.07">
+      <freejoint/>
+      <geom name="geomB" type="sphere" size="0.05" density="700"
+            contype="1" conaffinity="2"/>
+      <body name="armB" pos="0 0 0.05">
+        <joint name="swingB" type="hinge" axis="1 0 0" damping="0.02"
+               limited="true" range="-45 45"/>
+        <geom name="ageomB" type="capsule" size="0.01" fromto="0 0 0 0 0.1 0"
+              contype="0" conaffinity="0"/>
+      </body>
+    </body>
+  </worldbody>
+  <actuator>
+    <motor joint="swingA" gear="0.2"/>
+    <general joint="swingB" gear="0.3" dyntype="filter" dynprm="0.01"
+             gaintype="fixed" gainprm="5 0 0" biastype="affine"
+             biasprm="0 -1 -0.1" ctrlrange="-1 1" ctrllimited="true"
+             forcerange="-10 10" forcelimited="true"/>
+  </actuator>
+</mujoco>
+"""
+
+
+def _pair_model():
+  import mujoco
+  from brax_rodent_run_tpu.mjcf.from_mj import from_mj_model
+  mj_model = mujoco.MjModel.from_xml_string(_PAIR_XML)
+  mj_model.opt.jacobian = 0
+  return from_mj_model(mj_model)
+
+
+def test_fused_full_kernel_matches_core_two_free(monkeypatch):
+  """v2 kernel parity on a TWO-free-joint model (multi-free cdof rows +
+  per-joint quat integration)."""
+  monkeypatch.delenv("BRR_NO_FUSED", raising=False)
+  from brax_rodent_run_tpu.ops import fused_full as ff
+
+  m = _pair_model()
+  assert ff.eligible_full(m), "pair mini model should be v2-eligible"
+  assert len(ff.statics2(m).free_js) == 2
+  batch = _fused2_batch(m)
+
+  args = (batch.qpos, batch.qvel, batch.act, batch.ctrl,
+          batch.qfrc_applied, batch.xpos, batch.xmat, batch.xipos,
+          batch.ximat, batch.xanchor, batch.xaxis,
+          batch.contact.dist, batch.contact.pos, batch.contact.frame)
+  ref = jax.vmap(lambda *a: ff._core(m, *a))(*args)
+  ff.FORCE_INTERPRET = True
+  try:
+    out = ff.fused_full_batched(m, *args)
+  finally:
+    ff.FORCE_INTERPRET = False
+  for name, a, b in zip(_FF_NAMES, out, ref):
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               rtol=2e-3, atol=2e-3, err_msg=name)
+
+
+def test_fused_steps_kernel_matches_core_two_free(monkeypatch):
+  """v3 whole-control-step kernel parity (in-kernel FK with two free
+  joints in the same level slot) on the pair mini model."""
+  monkeypatch.delenv("BRR_NO_FUSED", raising=False)
+  from brax_rodent_run_tpu.ops import fused_full as ff
+
+  m = _pair_model()
+  assert ff.eligible_steps(m)
+  batch = _fused2_batch(m)
+  n_frames = 3
+
+  args = (batch.qpos, batch.qvel, batch.act, batch.ctrl,
+          batch.qfrc_applied)
+  ref = jax.vmap(lambda *a: ff._core_steps(m, n_frames, *a))(*args)
+  ff.FORCE_INTERPRET = True
+  try:
+    out = ff.fused_steps_batched(m, n_frames, *args)
+  finally:
+    ff.FORCE_INTERPRET = False
+  names = _FF_NAMES + ("qpos_pre", "con_dist", "con_pos", "con_frame")
+  for name, a, b in zip(names, out, ref):
+    a, b = np.asarray(a), np.asarray(b)
+    if name == "con_dist":
+      a, b = np.minimum(a, 1e3), np.minimum(b, 1e3)
+    np.testing.assert_allclose(a, b, rtol=5e-3, atol=5e-3, err_msg=name)
+
+
 def _fused3_model():
   import mujoco
   from brax_rodent_run_tpu.mjcf.from_mj import from_mj_model

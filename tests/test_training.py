@@ -220,6 +220,24 @@ def test_shard_map_matches_vmap_semantics():
                                rtol=1e-5, atol=1e-6)
 
 
+def test_epoch_scan_matches_host_loop():
+  """epoch_scan=True (one device-side lax.scan per epoch) must produce
+  bit-identical params to the host-stepped epoch loop (same fold_in key
+  schedule, same carry)."""
+  kwargs = dict(
+      environment=PointMass(), num_timesteps=4 * 8 * 2 * 4,
+      episode_length=8, num_envs=8, num_eval_envs=8, learning_rate=1e-3,
+      unroll_length=4, batch_size=8, num_minibatches=2,
+      num_updates_per_batch=1, normalize_observations=True, seed=5,
+      num_evals=2,
+  )
+  _, params_loop, _ = ppo.train(epoch_scan=False, **kwargs)
+  _, params_scan, _ = ppo.train(epoch_scan=True, **kwargs)
+  for a, b in zip(jax.tree_util.tree_leaves(params_loop),
+                  jax.tree_util.tree_leaves(params_scan)):
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_params_checkpoint_roundtrip(tmp_path):
   networks = ppo_networks.make_ppo_networks(observation_size=4,
                                             action_size=2)

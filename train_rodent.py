@@ -246,6 +246,7 @@ def main(argv=None):
       num_updates_per_batch=cfg.ppo.num_updates_per_batch,
       num_evals=cfg.ppo.num_evals,
       normalize_observations=cfg.ppo.normalize_observations,
+      epoch_scan=cfg.ppo.epoch_scan,
       reward_scaling=cfg.ppo.reward_scaling,
       clipping_epsilon=cfg.ppo.clipping_epsilon,
       gae_lambda=cfg.ppo.gae_lambda,
