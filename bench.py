@@ -51,7 +51,11 @@ def main(num_envs: int = 2048, steps_per_block: int = 50,
   track = jnp.asarray(
       np.cumsum(np.tile(np.array([[0.002, 0.0, 0.0]]), (260, 1)), axis=0),
       jnp.float32)
-  env = wrap_for_training(Rodent(m, track_pos=track), episode_length=150)
+  # the production training path: lean pipeline (no XLA frame/sensor
+  # reconstruction after the fused control step) + lean auto-reset
+  env = wrap_for_training(
+      Rodent(m, track_pos=track, lean_pipeline=True), episode_length=150,
+      lean_autoreset=True)
 
   rng = jax.random.split(jax.random.PRNGKey(0), num_envs)
   state = jax.jit(env.reset)(rng)

@@ -34,10 +34,15 @@ class State:
 class Env(abc.ABC):
   """Physics-backed environment over a compiled Model."""
 
-  def __init__(self, model: Model, n_frames: int = 1, dtype=None):
+  def __init__(self, model: Model, n_frames: int = 1, dtype=None,
+               lean_pipeline: bool = False):
     self._model = model
     self._n_frames = n_frames
     self._dtype = dtype or jnp.float32
+    # production fast path: on the fused control step, skip the XLA
+    # frame/sensor reconstruction (see forward.pipeline_steps_fused lean
+    # docstring + the stale-field contract on pipeline_step below)
+    self._lean_pipeline = lean_pipeline
 
   @property
   def model(self) -> Model:
@@ -71,6 +76,15 @@ class Env(abc.ABC):
     ...
 
   @property
+  def autoreset_carry_fields(self) -> tuple:
+    """DERIVED Data fields this env reads from the PRE-step state in
+    step() (e.g. Humanoid's com_before = data0.subtree_com). The lean
+    auto-reset wrapper must restore these on reset in addition to the
+    state-defining fields, or the first post-reset reward is computed
+    against the pre-reset trajectory."""
+    return ()
+
+  @property
   def action_size(self) -> int:
     return self._model.nu
 
@@ -90,7 +104,11 @@ class Env(abc.ABC):
     # STALE-FIELD CONTRACT (fused path): when the whole control step runs
     # in one Pallas kernel, only the fields the in-repo envs/sensors read
     # are emitted; qM/qLD/qMinv, ten_length/ten_velocity/ten_moment, and
-    # efc_D/efc_aref keep their make_data/prior values. Subclasses that
+    # efc_D/efc_aref keep their make_data/prior values. With
+    # lean_pipeline=True (production training path) the contract widens:
+    # xpos/xquat/xmat rows other than the first free body, xipos/ximat,
+    # geom/site frames, xanchor/xaxis, and sensordata also stay stale
+    # (forward.pipeline_steps_fused lean docstring). Subclasses that
     # need those fields must set BRR_NO_FUSED3=1 (stage pipeline) or
     # recompute them from (qpos, qvel). Audited consumers: Rodent,
     # Humanoid, sensors, training/acting.
@@ -99,7 +117,8 @@ class Env(abc.ABC):
     from brax_rodent_run_tpu.ops import fused_full as ff
     if ff.eligible_steps(self._model):
       # whole control step in one Pallas kernel (substep loop in-kernel)
-      return fwd.pipeline_steps_fused(self._model, data, self._n_frames)
+      return fwd.pipeline_steps_fused(self._model, data, self._n_frames,
+                                      lean=self._lean_pipeline)
 
     def substep(d, _):
       return fwd.step(self._model, d, sensors=False), ()

@@ -28,8 +28,10 @@ class Humanoid(Env):
       exclude_current_positions_from_observation: bool = True,
       n_frames: int = 5,
       dtype=None,
+      lean_pipeline: bool = False,
   ):
-    super().__init__(model, n_frames=n_frames, dtype=dtype)
+    super().__init__(model, n_frames=n_frames, dtype=dtype,
+                     lean_pipeline=lean_pipeline)
     self._forward_reward_weight = forward_reward_weight
     self._ctrl_cost_weight = ctrl_cost_weight
     self._healthy_reward = healthy_reward
@@ -37,6 +39,11 @@ class Humanoid(Env):
     self._healthy_z_range = healthy_z_range
     self._reset_noise_scale = reset_noise_scale
     self._exclude_xy = exclude_current_positions_from_observation
+
+  @property
+  def autoreset_carry_fields(self) -> tuple:
+    # reward reads com_before = data0.subtree_com[1] (pre-step state)
+    return ("subtree_com",)
 
   @property
   def observation_size(self) -> int:

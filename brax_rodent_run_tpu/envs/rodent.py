@@ -44,8 +44,10 @@ class Rodent(Env):
       n_frames: int = 10,
       fix_quirks: bool = False,
       dtype=None,
+      lean_pipeline: bool = False,
   ):
-    super().__init__(model, n_frames=n_frames, dtype=dtype)
+    super().__init__(model, n_frames=n_frames, dtype=dtype,
+                     lean_pipeline=lean_pipeline)
     self._track_pos = jnp.asarray(track_pos, self._dtype)
     self._forward_reward_weight = forward_reward_weight
     self._ctrl_cost_weight = ctrl_cost_weight

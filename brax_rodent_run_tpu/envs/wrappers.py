@@ -49,6 +49,12 @@ class Wrapper(Env):
   def action_size(self):
     return self.env.action_size
 
+  @property
+  def autoreset_carry_fields(self):
+    # explicit delegation: Wrapper subclasses Env, so the base-class
+    # property would otherwise shadow the wrapped env's override
+    return self.env.autoreset_carry_fields
+
   def reset(self, rng):
     return self.env.reset(rng)
 
@@ -141,10 +147,67 @@ class AutoResetWrapper(Wrapper):
     return state.replace(pipeline_state=pipeline_state, obs=obs)
 
 
+_LEAN_FIELDS = ("qpos", "qvel", "act", "ctrl", "qfrc_applied", "time")
+
+
+class LeanAutoResetWrapper(Wrapper):
+  """AutoReset that caches/restores only the state-DEFINING pipeline
+  fields (qpos, qvel, act, ctrl, qfrc_applied, time) plus obs.
+
+  Training math is identical to AutoResetWrapper: the next
+  pipeline_step recomputes every derived forward product from
+  (qpos, qvel, act, ctrl), and obs is restored exactly. The difference
+  is purely HBM traffic — the full-Data select (~30 leaves incl. the
+  dense qM/qMinv matrices) shrinks to 6 leaves — and that derived
+  fields of a just-auto-reset state hold the pre-reset step's values
+  (stale-field contract, envs/base.pipeline_step)."""
+
+  def _fields(self):
+    # state-defining fields + any derived fields the env reads from the
+    # PRE-step state (Env.autoreset_carry_fields contract)
+    return _LEAN_FIELDS + tuple(self.env.autoreset_carry_fields)
+
+  def reset(self, rng):
+    state = self.env.reset(rng)
+    info = dict(state.info)
+    info["first_state_fields"] = {
+        f: getattr(state.pipeline_state, f) for f in self._fields()}
+    info["first_obs"] = state.obs
+    return state.replace(info=info)
+
+  def step(self, state, action):
+    if "steps" in state.info:
+      steps = state.info["steps"]
+      steps = jnp.where(state.done, jnp.zeros_like(steps), steps)
+      info = dict(state.info)
+      info["steps"] = steps
+      state = state.replace(info=info)
+    state = state.replace(done=jnp.zeros_like(state.done))
+    state = self.env.step(state, action)
+
+    def where_done(x, y):
+      done = state.done
+      if done.ndim > 0:
+        done = jnp.reshape(done, [x.shape[0]] + [1] * (len(x.shape) - 1))
+      return jnp.where(done, x, y)
+
+    cached = state.info["first_state_fields"]
+    ps = state.pipeline_state.replace(**{
+        f: where_done(cached[f], getattr(state.pipeline_state, f))
+        for f in self._fields()})
+    obs = where_done(state.info["first_obs"], state.obs)
+    return state.replace(pipeline_state=ps, obs=obs)
+
+
 def wrap_for_training(env: Env, episode_length: int = 1000,
-                      action_repeat: int = 1) -> Env:
-  """EpisodeWrapper -> VmapWrapper -> AutoResetWrapper (brax order)."""
+                      action_repeat: int = 1,
+                      lean_autoreset: bool = False) -> Env:
+  """EpisodeWrapper -> VmapWrapper -> AutoResetWrapper (brax order).
+
+  ``lean_autoreset=True`` swaps in LeanAutoResetWrapper (production
+  training path; identical observable training semantics, less HBM
+  traffic per step)."""
   env = EpisodeWrapper(env, episode_length, action_repeat)
   env = VmapWrapper(env)
-  env = AutoResetWrapper(env)
+  env = (LeanAutoResetWrapper if lean_autoreset else AutoResetWrapper)(env)
   return env

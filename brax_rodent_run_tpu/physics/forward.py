@@ -234,12 +234,21 @@ def make_put_data(m: Model, qpos=None, qvel=None, dtype=None) -> Data:
 
 
 def pipeline_steps_fused(m: Model, d: Data, n_frames: int,
-                         sensors: bool = True) -> Data:
+                         sensors: bool = True,
+                         lean: bool = False) -> Data:
   """A FULL control step (n_frames substeps) in ONE Pallas kernel call
   (ops/fused_full.py v3): FK, collision narrow-phase, dynamics and
   integration loop inside the kernel; XLA only reconstructs the last
   substep's frame fields from its pre-integration qpos (one kinematics
-  call per CONTROL step) and runs the sensor stages."""
+  call per CONTROL step) and runs the sensor stages.
+
+  ``lean=True`` (production training path): skip the XLA kinematics
+  reconstruction and sensors entirely — only body 1's orientation (the
+  free-joint quaternion, all the in-repo envs read) is refreshed; every
+  other frame field (xpos/xquat rows != 1, geom/site frames, sensordata)
+  keeps its previous value per the stale-field contract documented on
+  envs/base.pipeline_step. Training math (obs/reward/done) is identical
+  because the envs read only kernel outputs + xmat[1]."""
   from brax_rodent_run_tpu.ops import fused_full as ff
   from brax_rodent_run_tpu.physics.types import Contact
 
@@ -249,6 +258,35 @@ def pipeline_steps_fused(m: Model, d: Data, n_frames: int,
    qpos_new, qvel_new, act_new,
    qpos_pre, con_dist, con_pos, con_frame) = ff.fused_steps_entry(
       m, n_frames)(d.qpos, d.qvel, d.act, d.ctrl, d.qfrc_applied)
+
+  if lean:
+    st2 = ff.statics2(m)
+    if st2.free_js:
+      # body 1 == first free-joint body on the in-repo envs: its frame
+      # comes straight from the free quaternion (smooth.kinematics
+      # free-joint branch), so no full FK is needed
+      fq = st2.fqadrs[0]
+      fb = st2.fbodies[0]
+      quat = qpos_pre[fq + 3:fq + 7]
+      quat = quat / jnp.linalg.norm(quat)
+      d = d.replace(
+          xpos=d.xpos.at[fb].set(qpos_pre[fq:fq + 3]),
+          xquat=d.xquat.at[fb].set(quat),
+          xmat=d.xmat.at[fb].set(math.quat_to_mat(quat)))
+    moment = jnp.asarray(ff.statics2(m).MOM[:m.nu, :m.nv], d.qpos.dtype)
+    h = jnp.asarray(m.opt.timestep, d.qpos.dtype)
+    return d.replace(
+        subtree_com=subtree_com, cinert=cinert, cdof=cdof, cvel=cvel,
+        cdof_dot=cdof_dot, qfrc_bias=qfrc_bias, qfrc_spring=qfrc_spring,
+        qfrc_damper=qfrc_damper, qfrc_passive=qfrc_passive,
+        actuator_length=alen, actuator_velocity=avel, actuator_force=afrc,
+        actuator_moment=moment, act_dot=act_dot,
+        qfrc_actuator=qfrc_actuator, qfrc_smooth=qfrc_smooth,
+        qacc_smooth=qacc_smooth, qacc=qacc,
+        qfrc_constraint=qfrc_constraint, efc_force=efc_force,
+        contact=Contact(dist=con_dist, pos=con_pos, frame=con_frame),
+        qpos=qpos_new, qvel=qvel_new, act=act_new,
+        time=d.time + n_frames * h)
 
   # frame fields of the last substep (pre-integration state)
   d = smooth.kinematics(m, d.replace(qpos=qpos_pre))

@@ -94,6 +94,7 @@ def train(
     profile_dir: Optional[str] = None,
     spmd_mode: str = "shard_map",
     epoch_scan: bool = False,
+    lean_autoreset: bool = False,
 ):
   """Train PPO on ``environment``; see module docstring for the contract."""
   if mesh is None:
@@ -115,7 +116,8 @@ def train(
       num_timesteps / (num_evals_after_init * env_step_per_training_step))
 
   env = wrappers.wrap_for_training(environment, episode_length=episode_length,
-                                   action_repeat=action_repeat)
+                                   action_repeat=action_repeat,
+                                   lean_autoreset=lean_autoreset)
 
   obs_size = environment.observation_size
   action_size = environment.action_size

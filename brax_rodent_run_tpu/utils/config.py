@@ -27,6 +27,10 @@ class EnvConfig:
   terminate_when_unhealthy: bool = True
   reset_noise_scale: float = 1e-2
   fix_quirks: bool = False
+  # production fast path: skip XLA frame/sensor reconstruction after the
+  # fused control step (stale-field contract, envs/base.pipeline_step);
+  # obs/reward/done are identical — set False to keep full Data fresh
+  lean_pipeline: bool = True
 
 
 @dataclasses.dataclass
@@ -65,6 +69,10 @@ class PPOConfig:
   # to the host loop; keep False on single-chip tunnel deployments where
   # multi-second executions crash the worker — ppo.py training_epoch)
   epoch_scan: bool = False
+  # LeanAutoResetWrapper on the training env: restore only the
+  # state-defining fields + obs on done (identical training math, less
+  # HBM traffic; envs/wrappers.LeanAutoResetWrapper)
+  lean_autoreset: bool = True
   # network sizes: brax defaults (SURVEY.md §2.3 PPO row)
   policy_hidden: Tuple[int, ...] = (32, 32, 32, 32)
   value_hidden: Tuple[int, ...] = (256, 256, 256, 256, 256)

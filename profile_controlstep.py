@@ -102,24 +102,27 @@ def main():
           env._n_frames)
     return jax.vmap(f), data0
 
+  lean_env = Rodent(m, track_pos=track, lean_pipeline=True)
+
   def mk_bare():
     rng = jax.random.split(jax.random.PRNGKey(0), N)
     bstate = jax.jit(jax.vmap(env.reset))(rng)
     act = jnp.zeros((N, env.action_size), jnp.float32)
     return (lambda s: jax.vmap(env.step)(s, act)), bstate
 
-  def _wrapped():
-    wenv = wrap_for_training(env, episode_length=150)
+  def _wrapped(e, lean_reset):
+    wenv = wrap_for_training(e, episode_length=150,
+                             lean_autoreset=lean_reset)
     rng = jax.random.split(jax.random.PRNGKey(0), N)
     return wenv, jax.jit(wenv.reset)(rng)
 
   def mk_wrap():
-    wenv, wstate = _wrapped()
+    wenv, wstate = _wrapped(env, False)
     act = jnp.zeros((N, env.action_size), jnp.float32)
     return (lambda s: wenv.step(s, act)), wstate
 
-  def mk_bench():
-    wenv, wstate = _wrapped()
+  def _bench_body(e, lean_reset):
+    wenv, wstate = _wrapped(e, lean_reset)
     def f(c):
       s, key = c
       key, akey = jax.random.split(key)
@@ -128,13 +131,20 @@ def main():
       return wenv.step(s, a), key
     return f, (wstate, jax.random.PRNGKey(1))
 
+  def mk_bench():
+    return _bench_body(env, False)
+
+  def mk_lean():
+    return _bench_body(lean_env, True)
+
   print(f"backend={jax.default_backend()} envs={N} iters={iters}",
         flush=True)
   sections = [("raw", "raw fused kernel", mk_raw),
               ("pipe", "pipeline_steps_fused", mk_pipe),
               ("bare", "bare env.step", mk_bare),
               ("wrap", "wrapped env.step", mk_wrap),
-              ("bench", "bench body (step+rng)", mk_bench)]
+              ("bench", "bench body (step+rng)", mk_bench),
+              ("lean", "lean bench body", mk_lean)]
   only = set(filter(None, args.only.split(",")))
   ts = {}
   for key, name, mk in sections:

@@ -77,6 +77,37 @@ def test_wrapped_batch_autoreset(humanoid_env):
   assert np.all(np.isfinite(np.asarray(state.obs)))
 
 
+def test_lean_autoreset_matches_classic(humanoid_env):
+  """LeanAutoResetWrapper's OBSERVABLE behavior (qpos/qvel/act/obs/
+  reward/done/steps) must equal classic AutoResetWrapper step-for-step,
+  including across auto-resets."""
+  batch = 3
+  rng = jax.random.split(jax.random.PRNGKey(11), batch)
+  envc = wrap_for_training(humanoid_env, episode_length=3)
+  envl = wrap_for_training(humanoid_env, episode_length=3,
+                           lean_autoreset=True)
+  sc = jax.jit(envc.reset)(rng)
+  sl = jax.jit(envl.reset)(rng)
+  stepc = jax.jit(envc.step)
+  stepl = jax.jit(envl.step)
+  key = jax.random.PRNGKey(5)
+  for t in range(7):
+    key, akey = jax.random.split(key)
+    a = jax.random.uniform(akey, (batch, humanoid_env.action_size),
+                           jnp.float32, -0.3, 0.3)
+    sc = stepc(sc, a)
+    sl = stepl(sl, a)
+    for name in ("obs", "reward", "done"):
+      np.testing.assert_array_equal(np.asarray(getattr(sc, name)),
+                                    np.asarray(getattr(sl, name)), name)
+    for f in ("qpos", "qvel", "act"):
+      np.testing.assert_array_equal(
+          np.asarray(getattr(sc.pipeline_state, f)),
+          np.asarray(getattr(sl.pipeline_state, f)), f)
+    np.testing.assert_array_equal(np.asarray(sc.info["steps"]),
+                                  np.asarray(sl.info["steps"]))
+
+
 def test_autoreset_restores_first_state(humanoid_env):
   env = wrap_for_training(humanoid_env, episode_length=3)
   rng = jax.random.split(jax.random.PRNGKey(7), 2)

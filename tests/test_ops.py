@@ -493,6 +493,44 @@ def test_fused_full_kernel_matches_core_two_free(monkeypatch):
                                rtol=2e-3, atol=2e-3, err_msg=name)
 
 
+def test_pipeline_steps_fused_lean_matches_full(monkeypatch):
+  """lean=True must agree with the full path on every field the envs
+  consume: final state (qpos/qvel/act), kernel outputs feeding obs
+  (cinert/cvel/qfrc_actuator/subtree_com) and body-1 frame (xpos/xmat
+  from the free quaternion vs the full kinematics reconstruction)."""
+  from brax_rodent_run_tpu.ops import fused_full as ff
+  from brax_rodent_run_tpu.physics import forward
+  from brax_rodent_run_tpu.physics.types import make_data
+
+  monkeypatch.delenv("BRR_NO_FUSED", raising=False)
+  m = _fused3_model()
+  batch = _fused2_batch(m, B=4)
+  n_frames = 2
+  fb = ff.statics2(m).fbodies[0]
+
+  def run(lean):
+    def one(q, v, a, c, qf):
+      d = make_data(m, dtype=jnp.float32)
+      d = d.replace(qpos=q, qvel=v, act=a, ctrl=c, qfrc_applied=qf)
+      return forward.pipeline_steps_fused(m, d, n_frames, lean=lean)
+    return jax.jit(jax.vmap(one))(batch.qpos, batch.qvel, batch.act,
+                                  batch.ctrl, batch.qfrc_applied)
+
+  full = run(False)
+  lean = run(True)
+  for name in ("qpos", "qvel", "act", "cinert", "cvel", "qfrc_actuator",
+               "subtree_com", "qacc", "time"):
+    np.testing.assert_allclose(
+        np.asarray(getattr(lean, name)), np.asarray(getattr(full, name)),
+        rtol=1e-5, atol=1e-6, err_msg=name)
+  np.testing.assert_allclose(np.asarray(lean.xpos[:, fb]),
+                             np.asarray(full.xpos[:, fb]),
+                             rtol=1e-5, atol=1e-6, err_msg="xpos[fb]")
+  np.testing.assert_allclose(np.asarray(lean.xmat[:, fb]),
+                             np.asarray(full.xmat[:, fb]),
+                             rtol=1e-5, atol=1e-6, err_msg="xmat[fb]")
+
+
 def test_fused_steps_kernel_matches_core_two_free(monkeypatch):
   """v3 whole-control-step kernel parity (in-kernel FK with two free
   joints in the same level slot) on the pair mini model."""

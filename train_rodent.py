@@ -147,7 +147,7 @@ def main(argv=None):
     clip = None
   env = envs.get_environment(
       cfg.env.env_name, model=model, n_frames=cfg.env.n_frames,
-      **env_kwargs)
+      lean_pipeline=cfg.env.lean_pipeline, **env_kwargs)
 
   run_name = cfg.run.run_name or (
       f"{cfg.env.env_name}_e{cfg.ppo.num_envs}_"
@@ -247,6 +247,7 @@ def main(argv=None):
       num_evals=cfg.ppo.num_evals,
       normalize_observations=cfg.ppo.normalize_observations,
       epoch_scan=cfg.ppo.epoch_scan,
+      lean_autoreset=cfg.ppo.lean_autoreset,
       reward_scaling=cfg.ppo.reward_scaling,
       clipping_epsilon=cfg.ppo.clipping_epsilon,
       gae_lambda=cfg.ppo.gae_lambda,
