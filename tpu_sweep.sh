@@ -1,0 +1,32 @@
+#!/bin/bash
+# One-shot TPU measurement battery for the throughput hunt (VERDICT r1 #1).
+# Run when the axon tunnel is alive; each step is serialized (1-CPU host)
+# and logged to perf_logs/. Safe to re-run — compiles hit .jax_cache.
+set -u
+cd "$(dirname "$0")"
+mkdir -p perf_logs
+probe() {
+  timeout 60 python -c "
+import jax, jax.numpy as jnp
+print('tpu ok', float((jnp.ones((8,8))@jnp.ones((8,8))).sum()))" \
+    >/dev/null 2>&1
+}
+if ! probe; then echo "TPU tunnel DOWN — aborting"; exit 1; fi
+run() {  # run <name> <timeout_s> <cmd...>
+  local name=$1 to=$2; shift 2
+  echo "=== $name ==="
+  timeout "$to" "$@" >"perf_logs/$name.log" 2>&1
+  echo "rc=$? (tail:)"; grep -v cpu_aot "perf_logs/$name.log" | tail -6
+}
+run bench_baseline       900 python bench.py
+run prof_raw             900 python profile_controlstep.py --only raw
+run prof_pipe            900 python profile_controlstep.py --only pipe
+run prof_lean            900 python profile_controlstep.py --only lean
+run prof_bench           900 python profile_controlstep.py --only bench
+run ablate_none          700 python profile_kernel.py
+run ablate_chol          700 python profile_kernel.py --ablate chol
+run ablate_cg            700 python profile_kernel.py --ablate cg
+run ablate_ls            700 python profile_kernel.py --ablate ls
+run ablate_damp          700 python profile_kernel.py --ablate damp
+BRR_FF_LANES=256 run bench_lanes256 900 python bench.py
+echo "=== done — see perf_logs/ ==="
