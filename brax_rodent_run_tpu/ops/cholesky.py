@@ -20,6 +20,7 @@ odd dtypes).
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -98,15 +99,105 @@ def _inv_from_chol_inplace(np_, l_ref, x_ref, inv_ref):
                             + xk[:, None, :] * xk[None, :, :])
 
 
+# ---------------------------------------------------------------------------
+# Blocked (panel) variants: identical math, ~_R x fewer full-size serial
+# steps. The per-column loop issues n dependent (np_, np_, 128) rank-1
+# updates back-to-back — on TPU the chain is latency-bound, not
+# throughput-bound. The blocked form factors an _R-wide panel with
+# narrow intra-panel updates, then applies the panel to the trailing
+# matrix as ONE sum of _R independent rank-1 terms the compiler can
+# pipeline. Selected by default; BRR_CHOL_COL=1 restores per-column.
+# ---------------------------------------------------------------------------
+
+_R = 8
+
+
+def _chol_inplace_blocked(n, np_, a_ref, l_ref):
+  """Blocked right-looking factorization of A (destroyed) into l_ref."""
+  rows = jax.lax.broadcasted_iota(jnp.int32, (np_, 1), 0)
+  dtype = a_ref.dtype
+  for kb in range(0, n, _R):
+    r1 = min(kb + _R, n)
+    cols = []
+    for k in range(kb, r1):
+      akk = a_ref[k, k, :]
+      inv = jax.lax.rsqrt(jnp.maximum(akk, 1e-30))
+      col = a_ref[:, k, :] * inv[None, :]
+      col = jnp.where(rows >= k, col, 0.0)
+      l_ref[:, k, :] = col
+      cols.append(col)
+      if k + 1 < r1:
+        # narrow intra-panel update: only the remaining panel columns
+        a_ref[kb:, k + 1:r1, :] = (
+            a_ref[kb:, k + 1:r1, :]
+            - col[kb:, None, :] * col[None, k + 1:r1, :])
+    if r1 < n:
+      # one rank-(r1-kb) trailing update: independent terms, one store
+      upd = cols[0][r1:, None, :] * cols[0][None, r1:, :]
+      for col in cols[1:]:
+        upd = upd + col[r1:, None, :] * col[None, r1:, :]
+      a_ref[r1:, r1:, :] = a_ref[r1:, r1:, :] - upd
+  lanes = a_ref.shape[-1]
+  for k in range(n, np_):                           # identity padding
+    l_ref[:, k, :] = jnp.broadcast_to(
+        jnp.where(rows == k, 1.0, 0.0), (np_, lanes)).astype(dtype)
+
+
+def _inv_from_chol_inplace_blocked(np_, l_ref, x_ref, inv_ref):
+  """Blocked L^-1 forward substitution + X^T X accumulation."""
+  eye2 = (jax.lax.broadcasted_iota(jnp.int32, (np_, np_, 1), 0)
+          == jax.lax.broadcasted_iota(jnp.int32, (np_, np_, 1), 1))
+  lanes = l_ref.shape[-1]
+  x_ref[:] = jnp.broadcast_to(eye2, (np_, np_, lanes)).astype(l_ref.dtype)
+  for kb in range(0, np_, _R):
+    r1 = min(kb + _R, np_)
+    hi = _blk_hi(r1 - 1, np_)
+    xs = []
+    for k in range(kb, r1):
+      inv_diag = 1.0 / jnp.maximum(l_ref[k, k, :], 1e-30)
+      xk = x_ref[k, :hi, :] * inv_diag[None, :]
+      x_ref[k, :hi, :] = xk
+      xs.append(xk)
+      if k + 1 < r1:
+        x_ref[k + 1:r1, :hi, :] = (
+            x_ref[k + 1:r1, :hi, :]
+            - l_ref[k + 1:r1, k, :][:, None, :] * xk[None, :, :])
+    if r1 < np_:
+      upd = l_ref[r1:, kb, :][:, None, :] * xs[0][None, :, :]
+      for j, k in enumerate(range(kb + 1, r1)):
+        upd = upd + l_ref[r1:, k, :][:, None, :] * xs[j + 1][None, :, :]
+      x_ref[r1:, :hi, :] = x_ref[r1:, :hi, :] - upd
+  inv_ref[:] = jnp.zeros((np_, np_, lanes), l_ref.dtype)
+  for kb in range(0, np_, _R):
+    r1 = min(kb + _R, np_)
+    hi = _blk_hi(r1 - 1, np_)
+    xk = x_ref[kb, :hi, :]
+    upd = xk[:, None, :] * xk[None, :, :]
+    for k in range(kb + 1, r1):
+      xk = x_ref[k, :hi, :]
+      upd = upd + xk[:, None, :] * xk[None, :, :]
+    inv_ref[:hi, :hi, :] = inv_ref[:hi, :hi, :] + upd
+
+
+def chol_routines():
+  """(factor, inverse) in-place routines: blocked by default,
+  per-column with BRR_CHOL_COL=1 (read at kernel-build time)."""
+  if os.environ.get("BRR_CHOL_COL"):
+    return _chol_inplace, _inv_from_chol_inplace
+  return _chol_inplace_blocked, _inv_from_chol_inplace_blocked
+
+
 @functools.lru_cache(maxsize=32)
 def _factor_kernel(n: int, np_: int, interpret: bool = False):
   """Unrolled right-looking Cholesky on a (np_, np_, 128) VMEM tile."""
   from jax.experimental import pallas as pl
   from jax.experimental.pallas import tpu as pltpu
 
+  _factor, _ = chol_routines()
+
   def kernel(a_ref, l_ref, scratch):
     scratch[:] = a_ref[:]
-    _chol_inplace(n, np_, scratch, l_ref)
+    _factor(n, np_, scratch, l_ref)
 
   def call(x):                                      # (np_, np_, B)
     B = x.shape[-1]
@@ -139,11 +230,13 @@ def _inverse_kernel(n: int, np_: int, interpret: bool = False):
   from jax.experimental import pallas as pl
   from jax.experimental.pallas import tpu as pltpu
 
+  _factor, _inverse = chol_routines()
+
   def kernel(a_ref, inv_ref, s_a, s_l):
     s_a[:] = a_ref[:]
-    _chol_inplace(n, np_, s_a, s_l)
+    _factor(n, np_, s_a, s_l)
     # s_a is destroyed; reuse it as the X buffer
-    _inv_from_chol_inplace(np_, s_l, s_a, inv_ref)
+    _inverse(np_, s_l, s_a, inv_ref)
 
   def call(x):
     B = x.shape[-1]

@@ -265,8 +265,8 @@ def _core(m: Model, qpos, qvel, cinert, cdof, qfrc_smooth,
 def _fused_kernel(m: Model, interpret: bool = False):
   from jax.experimental import pallas as pl
   from jax.experimental.pallas import tpu as pltpu
-  from brax_rodent_run_tpu.ops.cholesky import (
-      _chol_inplace, _inv_from_chol_inplace)
+  from brax_rodent_run_tpu.ops.cholesky import chol_routines
+  _chol_inplace, _inv_from_chol_inplace = chol_routines()
 
   st = statics(m)
   nv, nq, nbody = st.nv, st.nq, st.nbody

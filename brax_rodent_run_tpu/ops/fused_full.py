@@ -531,8 +531,8 @@ def _emit_dynamics(m: Model, ablate: str, C, scr, qpos, qvel, actv, ctrl,
   actuation -> constraint rows -> CG -> implicit damping -> integration.
   ``C`` maps const names to refs OR plain arrays (``x[:]`` reads both).
   Returns the _DYN_OUT tuple."""
-  from brax_rodent_run_tpu.ops.cholesky import (
-      _chol_inplace, _inv_from_chol_inplace)
+  from brax_rodent_run_tpu.ops.cholesky import chol_routines
+  _chol_inplace, _inv_from_chol_inplace = chol_routines()
   st2 = statics2(m)
   sc = _scalars(m)
   nbody, Js, np_, ncon, nc3 = sc.nbody, sc.Js, sc.np_, sc.ncon, sc.nc3
