@@ -94,11 +94,22 @@ def main(num_envs: int = 2048, steps_per_block: int = 50,
 
   env_steps = num_envs * steps_per_block * blocks
   steps_per_s = env_steps / dt
+
+  # roofline context (VERDICT r1 #1): analytic EXECUTED-flop model of the
+  # fused control step (ops/fused_full.flops_per_env_substep — counts
+  # every MAC incl. the zeros of static mask-matmuls). v5e peak: 197
+  # TFLOP/s bf16 MXU; the kernel is f32 and heavily VPU-bound, so the
+  # pct_peak figure is a trend metric, not a true utilization ceiling.
+  from brax_rodent_run_tpu.ops import fused_full as ff
+  n_frames = 10
+  gflops = steps_per_s * n_frames * ff.flops_per_env_substep(m) / 1e9
   print(json.dumps({
       "metric": "rodent_env_steps_per_s_2048envs_1chip",
       "value": round(steps_per_s, 1),
       "unit": "env_steps/s",
       "vs_baseline": round(steps_per_s / BASELINE_ENV_STEPS_PER_S, 3),
+      "executed_gflops_per_s": round(gflops, 1),
+      "pct_peak_bf16_v5e": round(100.0 * gflops / 197000.0, 2),
   }))
 
 

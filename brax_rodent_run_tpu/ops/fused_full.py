@@ -1404,3 +1404,50 @@ def fused_steps_entry(m: Model, n_frames: int):
     return out, tuple(True for _ in range(26))
 
   return fused
+
+
+def flops_per_env_substep(m: Model) -> float:
+  """Analytic EXECUTED-flop estimate for one env-substep of the v3
+  kernel (counting every MAC the hardware performs, including the
+  zero entries of static one-hot/mask matmuls — the MFU convention).
+  Dominant terms only; audited against the section structure of
+  _emit_dynamics/_kernel_steps.  Used by bench.py --mfu reporting
+  (VERDICT.md r1 missing #1: "MFU reported in BENCH_r*.json")."""
+  sc = _scalars(m)
+  np_, nbody = sc.np_, sc.nbody
+  nc3, nefc = sc.nc3, sc.nlimit + sc.ncr
+  it, nls = sc.iters, sc.n_ls
+
+  # FK: per level-slot quaternion chains ~ 60 flops/body + level gathers
+  fk = 60.0 * nbody + 4.0 * 2 * nbody * nbody
+  # collision narrow-phase: ~60 flops per candidate pair
+  coll = 60.0 * sc.ncon
+  # com_pos/cinert: 3 subtree matmuls (nbody^2) + ~60 elementwise/body
+  compos = 3 * 2.0 * nbody * nbody + 60.0 * nbody
+  # cdof: 6 PSC placements (np_ x Js) + free rows
+  cdof = 6 * 2.0 * np_ * sc.Js + 6 * 2.0 * np_ * 6
+  # CRB qm build: crbd 10 (nbody^2) matmuls + up/lo outer products
+  crb = 10 * 2.0 * nbody * nbody + 12.0 * np_ * np_ + 3.0 * np_ * np_
+  # Cholesky factor (blocked, identical flops): n^3/3 FMAs
+  chol = 2.0 * np_ ** 3 / 3.0
+  # explicit inverse: fwd substitution ~n^3/2 + X^T X ~n^3/2 FMAs,
+  # triangle-blocked to roughly half
+  inv = 2.0 * np_ ** 3 / 2.0
+  # com_vel / rne: ~14 (nbody x np_ or nbody^2) matmuls + elementwise
+  rne = 14 * 2.0 * nbody * np_ + 200.0 * nbody
+  # crb_mul (M@x via CRB identity): 12 mask matmuls + elementwise
+  crb_mul = 12 * 2.0 * nbody * np_ + 60.0 * nbody
+  # qminv matvec (dense np_^2)
+  pre = 2.0 * np_ * np_
+  # constraint rows: impedance etc ~40 flops/row + contact-jac factor ops
+  efc = 40.0 * nefc + 6 * 2.0 * nc3 * np_
+  # CG: per iteration ~1 crb_mul + 1 preconditioner + 2 factored-J
+  # applications (nc3 x np_) + line search (nls+1 evals x ~8 nefc)
+  cg = it * (crb_mul + pre + 4 * 2.0 * nc3 * np_
+             + (nls + 1) * 8.0 * nefc)
+  # implicit damping CG (6 iterations fixed)
+  damp = 6 * (crb_mul + pre) if sc.eulerdamp else 0.0
+  # smooth acceleration + actuation + integration: small
+  rest = 4.0 * np_ * np_ + 2.0 * sc.nu * np_ * 3 + 30.0 * sc.nq
+  return (fk + coll + compos + cdof + crb + chol + inv + rne + efc
+          + cg + damp + rest)
