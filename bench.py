@@ -113,5 +113,36 @@ def main(num_envs: int = 2048, steps_per_block: int = 50,
   }))
 
 
+def _main_with_fallback():
+  """Run the bench; if the fast path fails on-device (e.g. a Mosaic
+  regression in a new kernel feature), re-exec with progressively more
+  conservative flags so the driver ALWAYS gets a JSON line. Env flags
+  are read at kernel-build time behind lru caches, so each retry must
+  be a fresh process."""
+  import subprocess
+  import sys
+  ladders = [
+      {"BRR_CHOL_COL": "1"},                       # per-column Cholesky
+      {"BRR_CHOL_COL": "1", "BRR_NO_FUSED3": "1"}, # v2 substep kernel
+      {"BRR_NO_FUSED": "1"},                       # pure XLA stage path
+  ]
+  if os.environ.get("BRR_BENCH_NO_RETRY"):
+    main()
+    return
+  try:
+    main()
+    return
+  except Exception as e:           # noqa: BLE001 — any on-device failure
+    print(f"[bench] fast path failed ({type(e).__name__}: {e}); "
+          "retrying with conservative flags", flush=True)
+  for flags in ladders:
+    env = dict(os.environ, BRR_BENCH_NO_RETRY="1", **flags)
+    r = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                       env=env)
+    if r.returncode == 0:
+      return
+  raise SystemExit(1)
+
+
 if __name__ == "__main__":
-  main()
+  _main_with_fallback()
