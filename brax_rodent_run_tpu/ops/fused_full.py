@@ -1180,8 +1180,14 @@ def eligible_steps(m: Model) -> bool:
   return coll_mod.collision_supported(m) and m.ncon_max > 0
 
 
+# lean mode: the kernel emits ONLY the outputs the production training
+# path consumes (subtree_com, cinert, cvel, qfrc_actuator, qpos_new,
+# qvel_new, act_new, qpos_pre). Everything else is computed in-kernel
+# anyway (needed internally) but never written to HBM — ~65% fewer
+# output bytes and ~19 fewer XLA transposes per control step.
 @functools.lru_cache(maxsize=8)
-def _kernel_steps(m: Model, n_frames: int, interpret: bool = False):
+def _kernel_steps(m: Model, n_frames: int, interpret: bool = False,
+                  lean: bool = False):
   """One kernel per 128-env block for a FULL control step: the substep
   body (FK -> narrow-phase -> dynamics -> Euler) runs n_frames times via
   lax.fori_loop over a (qpos, qvel, act) carry; only the LAST substep
@@ -1200,10 +1206,14 @@ def _kernel_steps(m: Model, n_frames: int, interpret: bool = False):
   E = _LANES
   cnames, cvals = _build_consts(m)
 
-  out_rows = [3 * nbody, 10 * nbody, 6 * np_, 6 * nbody, 6 * np_,
-              np_, np_, np_, np_, nu, nu, nu, na_p, np_, np_, np_,
-              np_, np_, nlimit, ncr, nq, np_, na_p,
-              nq, ncon, 3 * ncon, 3 * nc3]
+  if lean:
+    out_rows = [3 * nbody, 10 * nbody, 6 * nbody, np_, nq, np_, na_p,
+                nq]
+  else:
+    out_rows = [3 * nbody, 10 * nbody, 6 * np_, 6 * nbody, 6 * np_,
+                np_, np_, np_, np_, nu, nu, nu, na_p, np_, np_, np_,
+                np_, np_, nlimit, ncr, nq, np_, na_p,
+                nq, ncon, 3 * ncon, 3 * nc3]
 
   def kernel(*refs):
     C = {k: r for k, r in zip(cnames, refs[:len(cnames)])}
@@ -1259,11 +1269,22 @@ def _kernel_steps(m: Model, n_frames: int, interpret: bool = False):
           0, n_frames - 1, body, (qpos0, qvel0, act0))
 
     vals, (cdist, cposc, frame) = sub(qpos0, qvel0, act0)
-    _write_outputs(outs[:23], vals, nlimit)
-    outs[23][:] = qpos0                    # pre-integration qpos (last)
-    outs[24][:] = cdist
-    outs[25][:] = jnp.concatenate(cposc, axis=0)
-    outs[26][:] = frame
+    if lean:
+      # consumed-only outputs: com, cinert, cvel are component lists
+      outs[0][:] = jnp.concatenate(vals[0], axis=0)
+      outs[1][:] = jnp.concatenate(vals[1], axis=0)
+      outs[2][:] = jnp.concatenate(vals[3], axis=0)
+      outs[3][:] = vals[13]
+      outs[4][:] = vals[19]
+      outs[5][:] = vals[20]
+      outs[6][:] = vals[21]
+      outs[7][:] = qpos0                   # pre-integration qpos (last)
+    else:
+      _write_outputs(outs[:23], vals, nlimit)
+      outs[23][:] = qpos0                  # pre-integration qpos (last)
+      outs[24][:] = cdist
+      outs[25][:] = jnp.concatenate(cposc, axis=0)
+      outs[26][:] = frame
 
   in_rows = [nq, np_, na_p, max(nu, 1), np_]
 
@@ -1324,8 +1345,9 @@ def _core_steps(m: Model, n_frames: int, qpos, qvel, act, ctrl,
 
 
 def fused_steps_batched(m: Model, n_frames: int, qpos, qvel, act, ctrl,
-                        qfrc_applied):
-  """Batched whole-control-step: (B, ...) state in -> 26-tuple out."""
+                        qfrc_applied, lean: bool = False):
+  """Batched whole-control-step: (B, ...) state in -> 26-tuple out
+  (8-tuple of consumed outputs when ``lean``)."""
   sc = _scalars(m)
   B = qpos.shape[0]
   E = _LANES
@@ -1349,15 +1371,29 @@ def fused_steps_batched(m: Model, n_frames: int, qpos, qvel, act, ctrl,
   arrs = [prep(qpos), prep(pad_last(qvel, np_)), prep(actp), prep(ctrlp),
           prep(pad_last(qfrc_applied, np_))]
 
-  out = _kernel_steps(m, n_frames, FORCE_INTERPRET)(*arrs)
+  out = _kernel_steps(m, n_frames, FORCE_INTERPRET, lean)(*arrs)
   unprep = lambda y: jnp.moveaxis(y, -1, 0)[:B]
+
+  def comp_major(y, ncomp, n):
+    return jnp.swapaxes(y.reshape(B, ncomp, n), -1, -2)
+
+  if lean:
+    (com, cinr, cvel, qfa_out, qpos_n, qvel_n, act_n,
+     qpos_pre) = map(unprep, out)
+    return (
+        comp_major(com, 3, nbody),
+        comp_major(cinr, 10, nbody),
+        comp_major(cvel, 6, nbody),
+        qfa_out[:, :nv],
+        qpos_n, qvel_n[:, :nv],
+        act_n[:, :m.na] if m.na else jnp.zeros((B, 0), qpos_n.dtype),
+        qpos_pre,
+    )
+
   (com, cinr, cdof, cvel, cdofdot, bias, spring, damper, passive,
    alen, avel, afrc, actdot, qfa_out, qfs, qaccs, qacc, qfc,
    flim, fcon, qpos_n, qvel_n, act_n,
    qpos_pre, cdist, cpos, cframe) = map(unprep, out)
-
-  def comp_major(y, ncomp, n):
-    return jnp.swapaxes(y.reshape(B, ncomp, n), -1, -2)
 
   # comp_major gives (B, nc3, 3 comps k); nc3 rows are (c,d) row-major
   # -> (B, ncon, d, k), matching Contact.frame's [n; t1; t2] rows
@@ -1382,14 +1418,25 @@ def fused_steps_batched(m: Model, n_frames: int, qpos, qvel, act, ctrl,
   )
 
 
+# semantic selection of the lean 8-tuple from the full 26-tuple
+_LEAN_SEL = (0, 1, 3, 13, 19, 20, 21, 22)
+
+
 @functools.lru_cache(maxsize=8)
-def fused_steps_entry(m: Model, n_frames: int):
+def fused_steps_entry(m: Model, n_frames: int, lean: bool = False):
   """custom-vmap entry for the whole control step: stage composition
-  unbatched; the v3 kernel when vmapped on TPU f32."""
+  unbatched; the v3 kernel when vmapped on TPU f32. ``lean`` returns
+  only the 8 outputs the production training path consumes."""
+
+  def core(*args):
+    out = _core_steps(m, n_frames, *args)
+    return tuple(out[i] for i in _LEAN_SEL) if lean else out
+
+  n_out = 8 if lean else 26
 
   @jax.custom_batching.custom_vmap
   def fused(qpos, qvel, act, ctrl, qfrc_applied):
-    return _core_steps(m, n_frames, qpos, qvel, act, ctrl, qfrc_applied)
+    return core(qpos, qvel, act, ctrl, qfrc_applied)
 
   @fused.def_vmap
   def _fused_vmap(axis_size, in_batched, *args):
@@ -1398,10 +1445,10 @@ def fused_steps_entry(m: Model, n_frames: int):
                   or (jax.default_backend() == "tpu"
                       and args[0].dtype == jnp.float32))
     if use_kernel and all(in_batched):
-      out = fused_steps_batched(m, n_frames, *args)
+      out = fused_steps_batched(m, n_frames, *args, lean=lean)
     else:
-      out = jax.vmap(lambda *a: _core_steps(m, n_frames, *a))(*args)
-    return out, tuple(True for _ in range(26))
+      out = jax.vmap(core)(*args)
+    return out, tuple(True for _ in range(n_out))
 
   return fused
 

@@ -252,14 +252,14 @@ def pipeline_steps_fused(m: Model, d: Data, n_frames: int,
   from brax_rodent_run_tpu.ops import fused_full as ff
   from brax_rodent_run_tpu.physics.types import Contact
 
-  (subtree_com, cinert, cdof, cvel, cdof_dot, qfrc_bias, qfrc_spring,
-   qfrc_damper, qfrc_passive, alen, avel, afrc, act_dot, qfrc_actuator,
-   qfrc_smooth, qacc_smooth, qacc, qfrc_constraint, efc_force,
-   qpos_new, qvel_new, act_new,
-   qpos_pre, con_dist, con_pos, con_frame) = ff.fused_steps_entry(
-      m, n_frames)(d.qpos, d.qvel, d.act, d.ctrl, d.qfrc_applied)
-
   if lean:
+    # consumed-only kernel outputs (the kernel skips the other ~19 HBM
+    # writes entirely); every other Data field keeps its prior value
+    # per the stale-field contract
+    (subtree_com, cinert, cvel, qfrc_actuator, qpos_new, qvel_new,
+     act_new, qpos_pre) = ff.fused_steps_entry(
+        m, n_frames, lean=True)(d.qpos, d.qvel, d.act, d.ctrl,
+                                d.qfrc_applied)
     st2 = ff.statics2(m)
     if st2.free_js:
       # body 1 == first free-joint body on the in-repo envs: its frame
@@ -273,20 +273,19 @@ def pipeline_steps_fused(m: Model, d: Data, n_frames: int,
           xpos=d.xpos.at[fb].set(qpos_pre[fq:fq + 3]),
           xquat=d.xquat.at[fb].set(quat),
           xmat=d.xmat.at[fb].set(math.quat_to_mat(quat)))
-    moment = jnp.asarray(ff.statics2(m).MOM[:m.nu, :m.nv], d.qpos.dtype)
     h = jnp.asarray(m.opt.timestep, d.qpos.dtype)
     return d.replace(
-        subtree_com=subtree_com, cinert=cinert, cdof=cdof, cvel=cvel,
-        cdof_dot=cdof_dot, qfrc_bias=qfrc_bias, qfrc_spring=qfrc_spring,
-        qfrc_damper=qfrc_damper, qfrc_passive=qfrc_passive,
-        actuator_length=alen, actuator_velocity=avel, actuator_force=afrc,
-        actuator_moment=moment, act_dot=act_dot,
-        qfrc_actuator=qfrc_actuator, qfrc_smooth=qfrc_smooth,
-        qacc_smooth=qacc_smooth, qacc=qacc,
-        qfrc_constraint=qfrc_constraint, efc_force=efc_force,
-        contact=Contact(dist=con_dist, pos=con_pos, frame=con_frame),
+        subtree_com=subtree_com, cinert=cinert, cvel=cvel,
+        qfrc_actuator=qfrc_actuator,
         qpos=qpos_new, qvel=qvel_new, act=act_new,
         time=d.time + n_frames * h)
+
+  (subtree_com, cinert, cdof, cvel, cdof_dot, qfrc_bias, qfrc_spring,
+   qfrc_damper, qfrc_passive, alen, avel, afrc, act_dot, qfrc_actuator,
+   qfrc_smooth, qacc_smooth, qacc, qfrc_constraint, efc_force,
+   qpos_new, qvel_new, act_new,
+   qpos_pre, con_dist, con_pos, con_frame) = ff.fused_steps_entry(
+      m, n_frames)(d.qpos, d.qvel, d.act, d.ctrl, d.qfrc_applied)
 
   # frame fields of the last substep (pre-integration state)
   d = smooth.kinematics(m, d.replace(qpos=qpos_pre))

@@ -519,7 +519,7 @@ def test_pipeline_steps_fused_lean_matches_full(monkeypatch):
   full = run(False)
   lean = run(True)
   for name in ("qpos", "qvel", "act", "cinert", "cvel", "qfrc_actuator",
-               "subtree_com", "qacc", "time"):
+               "subtree_com", "time"):
     np.testing.assert_allclose(
         np.asarray(getattr(lean, name)), np.asarray(getattr(full, name)),
         rtol=1e-5, atol=1e-6, err_msg=name)
@@ -529,6 +529,35 @@ def test_pipeline_steps_fused_lean_matches_full(monkeypatch):
   np.testing.assert_allclose(np.asarray(lean.xmat[:, fb]),
                              np.asarray(full.xmat[:, fb]),
                              rtol=1e-5, atol=1e-6, err_msg="xmat[fb]")
+
+
+def test_fused_steps_kernel_lean_outputs(monkeypatch):
+  """The lean v3 kernel (consumed-only HBM writes) must produce the
+  same 8 outputs as the full core, in interpret mode (exercises the
+  reduced out_rows write path, not just the XLA fallback)."""
+  monkeypatch.delenv("BRR_NO_FUSED", raising=False)
+  from brax_rodent_run_tpu.ops import fused_full as ff
+
+  m = _fused3_model()
+  assert ff.eligible_steps(m)
+  batch = _fused2_batch(m)
+  n_frames = 2
+
+  args = (batch.qpos, batch.qvel, batch.act, batch.ctrl,
+          batch.qfrc_applied)
+  full = jax.vmap(lambda *a: ff._core_steps(m, n_frames, *a))(*args)
+  ref = tuple(full[i] for i in ff._LEAN_SEL)
+  ff.FORCE_INTERPRET = True
+  try:
+    out = ff.fused_steps_batched(m, n_frames, *args, lean=True)
+  finally:
+    ff.FORCE_INTERPRET = False
+  names = ("subtree_com", "cinert", "cvel", "qfrc_actuator",
+           "qpos_new", "qvel_new", "act_new", "qpos_pre")
+  assert len(out) == len(ref) == 8
+  for name, a, b in zip(names, out, ref):
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               rtol=5e-3, atol=5e-3, err_msg=name)
 
 
 def test_fused_steps_kernel_matches_core_two_free(monkeypatch):
