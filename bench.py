@@ -30,7 +30,7 @@ def _model_path(name: str) -> str:
 
 
 def main(num_envs: int = 2048, steps_per_block: int = 50,
-         blocks: int = 4) -> None:
+         blocks: int = 4, model_xml: str = "rodent_new.xml") -> None:
   import jax
   # persistent compile cache: the 2048-env program compiles in minutes on
   # this 1-CPU host; driver re-runs should skip straight to execution
@@ -46,7 +46,7 @@ def main(num_envs: int = 2048, steps_per_block: int = 50,
   from brax_rodent_run_tpu.envs.rodent import Rodent
   from brax_rodent_run_tpu.envs.wrappers import wrap_for_training
 
-  m = load_model(_model_path("rodent_new.xml"), solver="cg",
+  m = load_model(_model_path(model_xml), solver="cg",
                    iterations=8, ls_iterations=8)
   track = jnp.asarray(
       np.cumsum(np.tile(np.array([[0.002, 0.0, 0.0]]), (260, 1)), axis=0),
@@ -126,11 +126,16 @@ def _main_with_fallback():
       {"BRR_CHOL_COL": "1", "BRR_NO_FUSED3": "1"}, # v2 substep kernel
       {"BRR_NO_FUSED": "1"},                       # pure XLA stage path
   ]
+  kwargs = {}
+  if os.environ.get("BRR_BENCH_MODEL"):
+    kwargs["model_xml"] = os.environ["BRR_BENCH_MODEL"]
+  if os.environ.get("BRR_BENCH_ENVS"):
+    kwargs["num_envs"] = int(os.environ["BRR_BENCH_ENVS"])
   if os.environ.get("BRR_BENCH_NO_RETRY"):
-    main()
+    main(**kwargs)
     return
   try:
-    main()
+    main(**kwargs)
     return
   except Exception as e:           # noqa: BLE001 — any on-device failure
     print(f"[bench] fast path failed ({type(e).__name__}: {e}); "
