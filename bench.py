@@ -103,49 +103,55 @@ def main(num_envs: int = 2048, steps_per_block: int = 50,
   from brax_rodent_run_tpu.ops import fused_full as ff
   n_frames = 10
   gflops = steps_per_s * n_frames * ff.flops_per_env_substep(m) / 1e9
-  print(json.dumps({
-      "metric": "rodent_env_steps_per_s_2048envs_1chip",
+  default_shape = (num_envs == 2048 and model_xml == "rodent_new.xml")
+  metric = ("rodent_env_steps_per_s_2048envs_1chip" if default_shape else
+            f"{os.path.splitext(model_xml)[0]}_env_steps_per_s_"
+            f"{num_envs}envs_1chip")
+  out = {
+      "metric": metric,
       "value": round(steps_per_s, 1),
       "unit": "env_steps/s",
-      "vs_baseline": round(steps_per_s / BASELINE_ENV_STEPS_PER_S, 3),
       "executed_gflops_per_s": round(gflops, 1),
       "pct_peak_bf16_v5e": round(100.0 * gflops / 197000.0, 2),
-  }))
+  }
+  # the baseline ratio is only meaningful at the headline shape
+  out["vs_baseline"] = round(steps_per_s / BASELINE_ENV_STEPS_PER_S,
+                             3) if default_shape else None
+  print(json.dumps(out))
 
 
 def _main_with_fallback():
-  """Run the bench; if the fast path fails on-device (e.g. a Mosaic
-  regression in a new kernel feature), re-exec with progressively more
+  """Run the bench in a CHILD process per attempt (the parent never
+  initializes the TPU client, so a failed rung releases the chip for
+  the next one); if the fast path fails on-device (e.g. a Mosaic
+  regression in a new kernel feature), retry with progressively more
   conservative flags so the driver ALWAYS gets a JSON line. Env flags
-  are read at kernel-build time behind lru caches, so each retry must
-  be a fresh process."""
+  are read at kernel-build time behind lru caches, so each attempt
+  must be a fresh process anyway."""
   import subprocess
   import sys
-  ladders = [
-      {"BRR_CHOL_COL": "1"},                       # per-column Cholesky
-      {"BRR_CHOL_COL": "1", "BRR_NO_FUSED3": "1"}, # v2 substep kernel
-      {"BRR_NO_FUSED": "1"},                       # pure XLA stage path
-  ]
   kwargs = {}
   if os.environ.get("BRR_BENCH_MODEL"):
     kwargs["model_xml"] = os.environ["BRR_BENCH_MODEL"]
   if os.environ.get("BRR_BENCH_ENVS"):
     kwargs["num_envs"] = int(os.environ["BRR_BENCH_ENVS"])
   if os.environ.get("BRR_BENCH_NO_RETRY"):
-    main(**kwargs)
+    main(**kwargs)                 # in-child: actually run the bench
     return
-  try:
-    main(**kwargs)
-    return
-  except Exception as e:           # noqa: BLE001 — any on-device failure
-    print(f"[bench] fast path failed ({type(e).__name__}: {e}); "
-          "retrying with conservative flags", flush=True)
-  for flags in ladders:
+  ladders = [
+      {},                                          # fast path
+      {"BRR_CHOL_COL": "1"},                       # per-column Cholesky
+      {"BRR_CHOL_COL": "1", "BRR_NO_FUSED3": "1"}, # v2 substep kernel
+      {"BRR_NO_FUSED": "1"},                       # pure XLA stage path
+  ]
+  for i, flags in enumerate(ladders):
     env = dict(os.environ, BRR_BENCH_NO_RETRY="1", **flags)
     r = subprocess.run([sys.executable, os.path.abspath(__file__)],
                        env=env)
     if r.returncode == 0:
       return
+    print(f"[bench] attempt {i} failed (rc={r.returncode}); "
+          "retrying with conservative flags", flush=True)
   raise SystemExit(1)
 
 

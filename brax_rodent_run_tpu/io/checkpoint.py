@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import os
 import pickle
+import tempfile
 from typing import Any
 
 import jax
@@ -25,13 +26,23 @@ from flax import serialization
 def save_params(path: str, params: Any) -> None:
   """Serialize a params pytree to a single file (brax.io.model contract).
 
-  Atomic: writes to a temp file in the same directory then os.replace()s
-  it over the target, so a crash mid-write never destroys the previous
-  checkpoint (the only resume state when overwriting in place)."""
-  tmp = path + ".tmp"
-  with open(tmp, "wb") as f:
-    f.write(pickle.dumps(jax.device_get(params)))
-  os.replace(tmp, path)
+  Atomic: writes to a UNIQUE temp file in the same directory then
+  os.replace()s it over the target, so a crash mid-write never destroys
+  the previous checkpoint and concurrent writers (e.g. a retried job
+  overlapping its predecessor) cannot interleave into one torn file."""
+  d = os.path.dirname(os.path.abspath(path)) or "."
+  fd, tmp = tempfile.mkstemp(dir=d, prefix=os.path.basename(path) + ".",
+                             suffix=".tmp")
+  try:
+    with os.fdopen(fd, "wb") as f:
+      f.write(pickle.dumps(jax.device_get(params)))
+    os.replace(tmp, path)
+  except BaseException:
+    try:
+      os.unlink(tmp)
+    except OSError:
+      pass
+    raise
 
 
 def load_params(path: str, target: Any = None) -> Any:

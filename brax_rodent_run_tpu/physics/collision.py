@@ -401,20 +401,42 @@ def _box_box(p1, m1, s1, p2, m2, s2):
 
 def _plane_cylinder(p1, m1, s1, p2, m2, s2):
   """Plane vs cylinder: deepest rim point of each cap + midpoint (3 pts,
-  mjc_PlaneCylinder-style support points)."""
+  mjc_PlaneCylinder-style support points).
+
+  Degenerate flat-resting case (axis ∥ plane normal): three points
+  spread 120° around the DEEP cap's rim, so a cap-resting cylinder is
+  supported like MuJoCo's flat branch instead of by a single arbitrary
+  rim point. The tangent basis uses the coordinate axis least aligned
+  with the cylinder axis (never a zero cross product)."""
   n = m1[..., :, 2]
   axis = m2[..., :, 2]
   r, hl = s2[..., 0], s2[..., 1]
   # rim direction in the cap plane most opposed to the plane normal
   d = -(n - axis * jnp.sum(n * axis, axis=-1, keepdims=True))
   dn = jnp.linalg.norm(d, axis=-1, keepdims=True)
-  # degenerate (axis || n): any radial direction
-  alt = math.normalize(jnp.cross(axis, jnp.broadcast_to(
-      jnp.array([1.0, 0.0, 0.0], p2.dtype), axis.shape)))
-  d = jnp.where(dn > 1e-8, d / jnp.maximum(dn, 1e-12), alt)
+  # robust tangent basis: reference axis least aligned with `axis`
+  xhat = jnp.broadcast_to(jnp.array([1.0, 0.0, 0.0], p2.dtype),
+                          axis.shape)
+  yhat = jnp.broadcast_to(jnp.array([0.0, 1.0, 0.0], p2.dtype),
+                          axis.shape)
+  ref = jnp.where(jnp.abs(axis[..., 0:1]) > 0.5, yhat, xhat)
+  a1 = math.normalize(jnp.cross(axis, ref))
+  a2 = jnp.cross(axis, a1)
+  deg = dn <= 1e-8
+  d = jnp.where(~deg, d / jnp.maximum(dn, 1e-12), a1)
   rim1 = p2 + axis * hl[..., None] + d * r[..., None]
   rim2 = p2 - axis * hl[..., None] + d * r[..., None]
   pts = jnp.stack([rim1, rim2, 0.5 * (rim1 + rim2)], axis=-2)   # (S,3,3)
+  # flat-resting: 120°-spread support triangle on the deep cap
+  sgn = jnp.sign(jnp.sum(axis * n, axis=-1, keepdims=True))
+  sgn = jnp.where(sgn == 0.0, 1.0, sgn)
+  cdeep = p2 - sgn * axis * hl[..., None]
+  rr = r[..., None]
+  f0 = cdeep + rr * a1
+  f1 = cdeep + rr * (-0.5 * a1 + (np.sqrt(3.0) / 2.0) * a2)
+  f2 = cdeep + rr * (-0.5 * a1 - (np.sqrt(3.0) / 2.0) * a2)
+  flat = jnp.stack([f0, f1, f2], axis=-2)
+  pts = jnp.where(deg[..., None], flat, pts)
   cdist = jnp.sum(n[..., None, :] * (pts - p1[..., None, :]), axis=-1)
   pos = pts - 0.5 * cdist[..., None] * n[..., None, :]
   nrm = jnp.broadcast_to(n[..., None, :], pos.shape)

@@ -252,6 +252,11 @@ def pipeline_steps_fused(m: Model, d: Data, n_frames: int,
   from brax_rodent_run_tpu.ops import fused_full as ff
   from brax_rodent_run_tpu.physics.types import Contact
 
+  # lean refreshes ONLY the first free body's frame; on a model with no
+  # free joint that would leave every frame field permanently stale
+  # while qpos advances — fall back to the full reconstruction there
+  if lean and not ff.statics2(m).free_js:
+    lean = False
   if lean:
     # consumed-only kernel outputs (the kernel skips the other ~19 HBM
     # writes entirely); every other Data field keeps its prior value
@@ -261,18 +266,17 @@ def pipeline_steps_fused(m: Model, d: Data, n_frames: int,
         m, n_frames, lean=True)(d.qpos, d.qvel, d.act, d.ctrl,
                                 d.qfrc_applied)
     st2 = ff.statics2(m)
-    if st2.free_js:
-      # body 1 == first free-joint body on the in-repo envs: its frame
-      # comes straight from the free quaternion (smooth.kinematics
-      # free-joint branch), so no full FK is needed
-      fq = st2.fqadrs[0]
-      fb = st2.fbodies[0]
-      quat = qpos_pre[fq + 3:fq + 7]
-      quat = quat / jnp.linalg.norm(quat)
-      d = d.replace(
-          xpos=d.xpos.at[fb].set(qpos_pre[fq:fq + 3]),
-          xquat=d.xquat.at[fb].set(quat),
-          xmat=d.xmat.at[fb].set(math.quat_to_mat(quat)))
+    # body 1 == first free-joint body on the in-repo envs: its frame
+    # comes straight from the free quaternion (smooth.kinematics
+    # free-joint branch), so no full FK is needed
+    fq = st2.fqadrs[0]
+    fb = st2.fbodies[0]
+    quat = qpos_pre[fq + 3:fq + 7]
+    quat = quat / jnp.linalg.norm(quat)
+    d = d.replace(
+        xpos=d.xpos.at[fb].set(qpos_pre[fq:fq + 3]),
+        xquat=d.xquat.at[fb].set(quat),
+        xmat=d.xmat.at[fb].set(math.quat_to_mat(quat)))
     h = jnp.asarray(m.opt.timestep, d.qpos.dtype)
     return d.replace(
         subtree_com=subtree_com, cinert=cinert, cvel=cvel,

@@ -151,11 +151,15 @@ def main():
     if only and key not in only:
       continue
     ts[key] = timed(name, mk)
-  if len(ts) == 5:
-    print(f"\ndeltas: kinematics+sensors {1e3*(ts['pipe']-ts['raw']):6.2f} ms"
-          f" | obs/reward {1e3*(ts['bare']-ts['pipe']):6.2f} ms | "
-          f"wrappers {1e3*(ts['wrap']-ts['bare']):6.2f} ms | "
-          f"action rng {1e3*(ts['bench']-ts['wrap']):6.2f} ms")
+  pairs = [("kinematics+sensors", "pipe", "raw"),
+           ("obs/reward", "bare", "pipe"),
+           ("wrappers", "wrap", "bare"),
+           ("action rng", "bench", "wrap"),
+           ("lean total win", "bench", "lean")]
+  deltas = [f"{name} {1e3*(ts[a]-ts[b]):6.2f} ms"
+            for name, a, b in pairs if a in ts and b in ts]
+  if deltas:
+    print("\ndeltas: " + " | ".join(deltas))
 
 
 if __name__ == "__main__":

@@ -14,6 +14,7 @@ from brax_rodent_run_tpu.mjcf.from_mj import from_mj_model
 from brax_rodent_run_tpu.physics import collision, smooth
 from brax_rodent_run_tpu.physics.types import make_data
 
+import jax
 import jax.numpy as jnp
 
 MODELS = ["humanoid.xml", "rodent_new.xml", "rodent_optimized.xml"]
@@ -95,3 +96,55 @@ def test_contacts_match(name):
               f"dist={dist[r]}")
       off += s.max_points
   assert total_mj_contacts > 0, "test states produced no contacts"
+
+
+def test_plane_cylinder_flat_resting_support():
+  """A cylinder resting on its cap (axis || plane normal) must be
+  supported by three equal-depth rim points — not one arbitrary point —
+  and the axis||x degenerate cross product must not produce NaNs."""
+  import mujoco
+  from brax_rodent_run_tpu.mjcf.from_mj import from_mj_model
+  from brax_rodent_run_tpu.physics import collision as coll
+  from brax_rodent_run_tpu.physics.types import make_data
+
+  xml = """
+  <mujoco>
+    <option timestep="0.002"/>
+    <worldbody>
+      <geom name="floor" type="plane" size="0 0 1"/>
+      <body name="c" pos="0 0 0.095">
+        <freejoint/>
+        <geom name="cyl" type="cylinder" size="0.05 0.1" density="500"/>
+      </body>
+    </worldbody>
+  </mujoco>
+  """
+  mj = mujoco.MjModel.from_xml_string(xml)
+  mj.opt.jacobian = 0
+  m = from_mj_model(mj)
+  from brax_rodent_run_tpu.physics import smooth
+  d = make_data(m, dtype=jnp.float64)
+  d = d.replace(qpos=jnp.asarray(m.qpos0, jnp.float64))
+  d = jax.jit(lambda dd: coll.collision(m, smooth.kinematics(m, dd)))(d)
+  dist = np.asarray(d.contact.dist)
+  pos = np.asarray(d.contact.pos)
+  active = dist < 0.0
+  assert active.sum() == 3, (dist, active)
+  np.testing.assert_allclose(dist[active], dist[active][0], atol=1e-12)
+  assert np.all(np.isfinite(pos[active]))
+  # the three support points are spread around the rim, not collapsed
+  xy = pos[active][:, :2]
+  spread = np.linalg.norm(xy - xy.mean(0), axis=1)
+  assert np.all(spread > 0.04), xy
+
+  # axis || x-hat (cross with x-hat degenerate): rotate the cylinder
+  # to lie on its side along x — must stay finite with active contacts
+  quat = np.array([np.cos(np.pi / 4), 0.0, np.sin(np.pi / 4), 0.0])
+  qpos = np.asarray(m.qpos0).copy()
+  qpos[2] = 0.045
+  qpos[3:7] = quat
+  d2 = make_data(m, dtype=jnp.float64)
+  d2 = d2.replace(qpos=jnp.asarray(qpos, jnp.float64))
+  d2 = jax.jit(lambda dd: coll.collision(m, smooth.kinematics(m, dd)))(d2)
+  assert np.all(np.isfinite(np.asarray(d2.contact.pos)))
+  assert (np.asarray(d2.contact.dist) < 0).any()
