@@ -229,29 +229,10 @@ def _core(m: Model, qpos, qvel, cinert, cdof, qfrc_smooth,
     dt = qpos.dtype
     h = jnp.asarray(st.h, dt)
     qfrc = qfrc_smooth + d.qfrc_constraint
-    if dt == jnp.float32:
-      # same 6-iteration M^-1-preconditioned CG as forward.euler's f32 path
-      hb = h * jnp.asarray(st.dof_damping, dt)
-      mhb = lambda x: d.qM @ x + hb * x
-      x = d.qMinv @ qfrc
-      r = qfrc - mhb(x)
-      z = d.qMinv @ r
-      p = z
-      rz = r @ z
-      for _ in range(6):
-        Ap = mhb(p)
-        alpha = rz / jnp.maximum(p @ Ap, 1e-30)
-        x = x + alpha * p
-        r = r - alpha * Ap
-        z = d.qMinv @ r
-        rz_new = r @ z
-        p = z + (rz_new / jnp.maximum(rz, 1e-30)) * p
-        rz = rz_new
-      qacc_int = x
-    else:
-      from brax_rodent_run_tpu.ops.cholesky import spd_inverse
-      MhB = d.qM + h * jnp.diag(jnp.asarray(st.dof_damping, dt))
-      qacc_int = spd_inverse(MhB) @ qfrc
+    # EXACT solve, matching forward.euler (mj_solveLD semantics)
+    from brax_rodent_run_tpu.ops.cholesky import spd_inverse
+    MhB = d.qM + h * jnp.diag(jnp.asarray(st.dof_damping, dt))
+    qacc_int = spd_inverse(MhB) @ qfrc
   qvel_new = qvel + jnp.asarray(st.h, qpos.dtype) * qacc_int
   return (d.qacc, d.qacc_smooth, d.qfrc_constraint, d.efc_force, qvel_new)
 
@@ -580,30 +561,20 @@ def _fused_kernel(m: Model, interpret: bool = False):
     force = pmap2(lambda t, j: -t * j, dterm, jar)
     qfrc_constraint = rmatvec(force)
 
-    # ---- implicit joint damping (euler's in-substep PCG) ---------------
+    # ---- implicit joint damping (EXACT, mj_solveLD semantics) ----------
     qacc_int = x
     if st.eulerdamp:
       qfrc = qfs + qfrc_constraint
       hb = hbd_ref[:]
-
-      def mhb(y):
-        return mmul0(qm, y) + hb * y
-
-      xd = mmul0(qminv, qfrc)
-      rr = qfrc - mhb(xd)
-      z = mmul0(qminv, rr)
-      pp = z
-      rz = jnp.sum(rr * z, axis=0)
-      for _ in range(6):
-        Ap = mhb(pp)
-        alpha = rz / jnp.maximum(jnp.sum(pp * Ap, axis=0), 1e-30)
-        xd = xd + alpha[None, :] * pp
-        rr = rr - alpha[None, :] * Ap
-        z = mmul0(qminv, rr)
-        rz_new = jnp.sum(rr * z, axis=0)
-        pp = z + (rz_new / jnp.maximum(rz, 1e-30))[None, :] * pp
-        rz = rz_new
-      qacc_int = xd
+      # second blocked factor+inverse reusing the dead scratches
+      # (s_x/qminv is dead after the constraint CG)
+      eye2 = (jax.lax.broadcasted_iota(jnp.int32, (np_, np_, 1), 0)
+              == jax.lax.broadcasted_iota(jnp.int32, (np_, np_, 1), 1)
+              ).astype(qm.dtype)
+      s_a[:] = qm + eye2 * hb[:, None, :]
+      _chol_inplace(np_, np_, s_a, s_l)
+      _inv_from_chol_inplace(np_, s_l, s_a, s_x)
+      qacc_int = mmul0(s_x[:], qfrc)
 
     qacc_ref[:] = x
     qaccs_ref[:] = qacc_smooth

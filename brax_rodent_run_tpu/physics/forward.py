@@ -96,34 +96,15 @@ def euler(m: Model, d: Data) -> Data:
   qacc = d.qacc
   eulerdamp = not (m.opt.disableflags & DisableBit.EULERDAMP)
   if eulerdamp and np.any(m.dof_damping > 0):
-    # implicit damping: (M + h*diag(B)) qacc' = total force
+    # implicit damping: (M + h*diag(B)) qacc' = total force — EXACT
+    # solve, matching MuJoCo's mj_solveLD semantics. (A 6-iteration
+    # M^-1-preconditioned CG used here through round 2 left ~8e-3
+    # relative error on contact-rich states — measured vs the exact
+    # solve — shifting the truncated-solver trajectory envelope.)
+    from brax_rodent_run_tpu.ops.cholesky import spd_inverse
     qfrc = d.qfrc_smooth + d.qfrc_constraint
-    if dt == jnp.float32:
-      # M^-1-preconditioned CG on the SPD system: converges to f32
-      # roundoff in a handful of matvecs, avoiding a second (costly)
-      # batched factorization per substep. f64 (oracle tests) keeps the
-      # exact solve below.
-      hb = h * jnp.asarray(m.dof_damping, dt)
-      mhb = lambda x: d.qM @ x + hb * x
-      x = d.qMinv @ qfrc
-      r = qfrc - mhb(x)
-      z = d.qMinv @ r
-      p = z
-      rz = r @ z
-      for _ in range(6):
-        Ap = mhb(p)
-        alpha = rz / jnp.maximum(p @ Ap, 1e-30)
-        x = x + alpha * p
-        r = r - alpha * Ap
-        z = d.qMinv @ r
-        rz_new = r @ z
-        p = z + (rz_new / jnp.maximum(rz, 1e-30)) * p
-        rz = rz_new
-      qacc = x
-    else:
-      from brax_rodent_run_tpu.ops.cholesky import spd_inverse
-      MhB = d.qM + h * jnp.diag(jnp.asarray(m.dof_damping, dt))
-      qacc = spd_inverse(MhB) @ qfrc
+    MhB = d.qM + h * jnp.diag(jnp.asarray(m.dof_damping, dt))
+    qacc = spd_inverse(MhB) @ qfrc
 
   qvel = d.qvel + h * qacc
   qpos = _integrate_pos(m, d.qpos, qvel, h)

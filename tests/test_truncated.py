@@ -120,7 +120,9 @@ def test_training_regime_substep_envelope():
           np.asarray(d.qvel, np.float64) - mjd.qvel))))
   errs = np.asarray(errs)
   # Calibrated envelope.  Measured floors (this loop, this seed):
-  #   correct efc_D:  median 0.054, p90 0.94, frac<0.2 = 0.71, max 6.1
+  #   correct efc_D + exact implicit damping:
+  #                   median 0.039, p90 0.91, frac<0.2 = 0.71, max 6.1
+  #   correct efc_D, 6-iter damping CG (pre-r2): median 0.054
   #   mu^2-off efc_D: median 2.34,  p90 9.79, frac<0.2 = 0.047, max 21.9
   # The gap is ~40x, so these bounds discriminate semantic drift from
   # line-search divergence noise (mj's eval-capped LS vs our exact root).
