@@ -30,7 +30,7 @@ def _model_path(name: str) -> str:
 
 
 def main(num_envs: int = 2048, steps_per_block: int = 50,
-         blocks: int = 4, model_xml: str = "rodent_new.xml") -> None:
+         blocks: int = 4, model_xml: str = "rodent_optimized.xml") -> None:
   import jax
   # persistent compile cache: the 2048-env program compiles in minutes on
   # this 1-CPU host; driver re-runs should skip straight to execution
@@ -103,7 +103,12 @@ def main(num_envs: int = 2048, steps_per_block: int = 50,
   from brax_rodent_run_tpu.ops import fused_full as ff
   n_frames = 10
   gflops = steps_per_s * n_frames * ff.flops_per_env_substep(m) / 1e9
-  default_shape = (num_envs == 2048 and model_xml == "rodent_new.xml")
+  # BASELINE.json config 3 names rodent_optimized.xml; rodent_new.xml is
+  # dimensionally identical (nq=74, nv=73, same obs) differing only in
+  # head-geom (skull/jaw) collidability — either satisfies the headline
+  # shape, and we report which one actually ran.
+  default_shape = (num_envs == 2048 and
+                   model_xml in ("rodent_optimized.xml", "rodent_new.xml"))
   metric = ("rodent_env_steps_per_s_2048envs_1chip" if default_shape else
             f"{os.path.splitext(model_xml)[0]}_env_steps_per_s_"
             f"{num_envs}envs_1chip")
@@ -111,13 +116,49 @@ def main(num_envs: int = 2048, steps_per_block: int = 50,
       "metric": metric,
       "value": round(steps_per_s, 1),
       "unit": "env_steps/s",
+      "model_xml": model_xml,
       "executed_gflops_per_s": round(gflops, 1),
       "pct_peak_bf16_v5e": round(100.0 * gflops / 197000.0, 2),
   }
+  rung = os.environ.get("BRR_BENCH_RUNG")
+  if rung is not None:
+    # attribute the number to the ladder rung that produced it (a fused-
+    # kernel regression must be visible as a fallback, not a quiet drop)
+    out["rung"] = int(rung)
+    out["rung_flags"] = json.loads(os.environ.get("BRR_BENCH_RUNG_FLAGS",
+                                                  "{}"))
   # the baseline ratio is only meaningful at the headline shape
   out["vs_baseline"] = round(steps_per_s / BASELINE_ENV_STEPS_PER_S,
                              3) if default_shape else None
   print(json.dumps(out))
+
+
+def _emit_failure(reason: str) -> None:
+  """The driver parses the last JSON line; on any total failure it must
+  still get one (VERDICT r2 weak #1 — the r2 ladder hung a whole driver
+  window and produced nothing)."""
+  print(json.dumps({
+      "metric": "rodent_env_steps_per_s_2048envs_1chip",
+      "value": None,
+      "unit": "env_steps/s",
+      "vs_baseline": None,
+      "error": reason,
+  }), flush=True)
+
+
+def _probe_device(timeout_s: float = 90.0) -> bool:
+  """Tiny-matmul probe in a CHILD process: when the axon tunnel is dead,
+  jax ops HANG rather than raise, so the probe must be killable."""
+  import subprocess
+  import sys
+  code = ("import jax, jax.numpy as jnp; "
+          "print(float((jnp.ones((8,8)) @ jnp.ones((8,8))).sum()))")
+  try:
+    r = subprocess.run([sys.executable, "-c", code], timeout=timeout_s,
+                       capture_output=True)
+    return r.returncode == 0
+  except subprocess.TimeoutExpired:
+    return False
 
 
 def _main_with_fallback():
@@ -138,21 +179,36 @@ def _main_with_fallback():
   if os.environ.get("BRR_BENCH_NO_RETRY"):
     main(**kwargs)                 # in-child: actually run the bench
     return
+  if not _probe_device():
+    _emit_failure("tpu_unreachable: 8x8 matmul probe failed/hung (90s)")
+    return
   ladders = [
       {},                                          # fast path
       {"BRR_CHOL_COL": "1"},                       # per-column Cholesky
       {"BRR_CHOL_COL": "1", "BRR_NO_FUSED3": "1"}, # v2 substep kernel
       {"BRR_NO_FUSED": "1"},                       # pure XLA stage path
   ]
+  # first rung may pay a fresh multi-minute compile; later rungs are
+  # retries and get a shorter leash so a dead tunnel can't eat the window
+  rung_timeouts = [2400.0, 1200.0, 1200.0, 1200.0]
   for i, flags in enumerate(ladders):
-    env = dict(os.environ, BRR_BENCH_NO_RETRY="1", **flags)
-    r = subprocess.run([sys.executable, os.path.abspath(__file__)],
-                       env=env)
+    env = dict(os.environ, BRR_BENCH_NO_RETRY="1", BRR_BENCH_RUNG=str(i),
+               BRR_BENCH_RUNG_FLAGS=json.dumps(flags), **flags)
+    try:
+      r = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                         env=env, timeout=rung_timeouts[i])
+    except subprocess.TimeoutExpired:
+      print(f"[bench] attempt {i} timed out", flush=True)
+      if not _probe_device():
+        _emit_failure(f"tpu_died_mid_bench: rung {i} timed out and the "
+                      "re-probe failed")
+        return
+      continue
     if r.returncode == 0:
       return
     print(f"[bench] attempt {i} failed (rc={r.returncode}); "
           "retrying with conservative flags", flush=True)
-  raise SystemExit(1)
+  _emit_failure("all_rungs_failed")
 
 
 if __name__ == "__main__":

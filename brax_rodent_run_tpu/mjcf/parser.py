@@ -1196,13 +1196,54 @@ class Parser:
 # ---------------------------------------------------------------------------
 
 
+_RESTORE_UNSET = object()
+
+
 def set_constants(model: Model) -> Model:
+  import contextlib
+  import jax
+
+  # jax.devices("cpu") initializes ALL backends; when the accelerator
+  # backend is broken (e.g. a dead axon tunnel) it raises RuntimeError —
+  # or HANGS inside plugin init — and takes down this CPU-only
+  # computation with it. Model loading must work with the chip
+  # unreachable: if no backend is initialized yet, restrict jax to CPU
+  # for the duration of this function, then restore the platform config
+  # and drop the backend cache so a later accelerator query in the same
+  # process initializes normally. (Safe because every output of this
+  # function is converted to numpy, and an empty backend cache means no
+  # live jax arrays exist anywhere in the process.)
+  from jax._src import xla_bridge as _xb
+
+  restore_platforms = _RESTORE_UNSET
+  if _xb._backends:
+    # backends already up: a cpu query is a cache hit, no init risk
+    try:
+      cpu_ctx = jax.default_device(jax.devices("cpu")[0])
+    except RuntimeError:
+      cpu_ctx = contextlib.nullcontext()
+  else:
+    prev = jax.config.jax_platforms
+    if prev != "cpu":
+      jax.config.update("jax_platforms", "cpu")
+      restore_platforms = prev
+    cpu_ctx = jax.default_device(jax.devices("cpu")[0])
+
+  try:
+    return _set_constants_impl(model, cpu_ctx)
+  finally:
+    if restore_platforms is not _RESTORE_UNSET:
+      jax.config.update("jax_platforms", restore_platforms)
+      _xb._clear_backends()
+
+
+def _set_constants_impl(model: Model, cpu_ctx) -> Model:
   import jax
   import jax.numpy as jnp
   from brax_rodent_run_tpu.physics import smooth
   from brax_rodent_run_tpu.physics.types import make_data
 
-  with jax.default_device(jax.devices("cpu")[0]):
+  with cpu_ctx:
     d = make_data(model, dtype=jnp.float64)
     d = smooth.kinematics(model, d)
     d = smooth.com_pos(model, d)

@@ -118,18 +118,32 @@ def efc_layout(m: Model) -> EfcLayout:
       body1.append(b1)
       body2.append(b2)
       incmargin.append(inc)
+      if s.condim > 3:
+        # torsional/rolling pyramid rows need rotational base directions
+        # at the contact (a 6-row base); the stored base is translational
+        # (ncon, 3). Guard rather than silently composing garbage rows.
+        raise NotImplementedError(
+            f"condim={s.condim} contacts (torsional/rolling friction) are "
+            "not supported; BASELINE models use condim<=3")
       if s.condim == 1:
         rows = [(0.0, 0, 0.0, iw)]
       else:
         # pyramidal: pairs (normal + mu*t_k, normal - mu*t_k)
         rows = []
+        # mj_makeImpedance pyramidal diagApprox: 2 mu^2 (1 + mu^2) iw,
+        # with mu = friction[0] for EVERY pyramid row (MuJoCo uses the
+        # first/sliding coefficient in the diag formula even for the
+        # torsional/rolling directions — verified empirically via efc_R;
+        # per-direction mu here would put efc_D off by ~mu_k^2/mu_0^2,
+        # i.e. orders of magnitude for torsional mu=0.005). The mu^2
+        # factor itself is easy to drop and shows up as a ~mu^2-off
+        # efc_D => wrong constraint softness in the truncated-solver
+        # training regime. Per-direction mu_k is still what scales the
+        # tangent direction in the Jacobian composition.
+        mu0 = s.friction[0]
+        diag = 2.0 * mu0 * mu0 * (1.0 + mu0 * mu0) * iw
         for k in range(s.condim - 1):
           mu_k = s.friction[k]
-          # mj_makeImpedance pyramidal diagApprox: 2 mu^2 (1 + mu^2) iw
-          # (the mu^2 factor is easy to drop and shows up as a ~mu^2-off
-          # efc_D => wrong constraint softness in the truncated-solver
-          # training regime)
-          diag = 2.0 * mu_k * mu_k * (1.0 + mu_k * mu_k) * iw
           rows.append((1.0, k + 1, mu_k, diag))
           rows.append((-1.0, k + 1, mu_k, diag))
       for sgn, tidx, mu_k, diag in rows:

@@ -128,6 +128,59 @@ def test_efc_rows(name):
                                  err_msg=f"row {i} aref")
 
 
+_ANISO_XML = """
+<mujoco>
+  <option timestep="0.002"/>
+  <worldbody>
+    <geom name="floor" type="plane" size="1 1 0.1"/>
+    <body name="ball" pos="0 0 0.04">
+      <freejoint/>
+      <geom name="ball" type="sphere" size="0.05" density="1000"/>
+    </body>
+  </worldbody>
+  <contact>
+    <pair geom1="floor" geom2="ball" condim="3"
+          friction="1.0 0.4 0.005 0.0001 0.0001"/>
+  </contact>
+</mujoco>
+"""
+
+
+def test_efc_D_anisotropic_friction():
+  """Pyramid diagApprox uses friction[0] for EVERY row (MuJoCo semantics),
+  even when the second sliding direction has a different mu. A
+  per-direction-mu diag would put the mu=0.4 rows' efc_D off by
+  (1.0/0.4)^2 ~ 6x vs the oracle (ADVICE r2, medium)."""
+  mj_model = mujoco.MjModel.from_xml_string(_ANISO_XML)
+  mj_model.opt.jacobian = 0
+  mj_model.opt.disableflags |= mujoco.mjtDisableBit.mjDSBL_WARMSTART
+  m = from_mj_model(mj_model)
+  mjd = mujoco.MjData(mj_model)
+  mjd.qpos[2] = 0.045          # penetrating: contact active
+  mjd.qvel[:] = [0.3, -0.2, 0.0, 0.1, 0.2, 0.05]
+  mujoco.mj_forward(mj_model, mjd)
+  assert mjd.nefc == 4          # 2*(condim-1) pyramid rows
+  d = _ours_forward(m, mjd)
+  _ours_forward.last = d
+  for i, r in _match_rows(mj_model, mjd, m):
+    np.testing.assert_allclose(np.asarray(d.efc_D)[r], mjd.efc_D[i],
+                               rtol=1e-6, err_msg=f"aniso row {i}->{r} D")
+    Jmj = mjd.efc_J.reshape(mjd.nefc, mj_model.nv)
+    ours_J = np.asarray(dense_efc_J(m, d))
+    np.testing.assert_allclose(ours_J[r], Jmj[i], atol=1e-8,
+                               err_msg=f"aniso row {i}->{r} J")
+
+
+def test_condim_gt3_guarded():
+  """condim>3 (torsional/rolling rows) is unsupported and must fail loudly
+  at layout time, not compose garbage rows (ADVICE r2)."""
+  xml = _ANISO_XML.replace('condim="3"', 'condim="4"')
+  mj_model = mujoco.MjModel.from_xml_string(xml)
+  m = from_mj_model(mj_model)
+  with pytest.raises(NotImplementedError, match="condim=4"):
+    efc_layout(m)
+
+
 @pytest.mark.parametrize("name", MODELS)
 @pytest.mark.parametrize("solver", ["cg", "newton"])
 def test_qacc_converged(name, solver):
