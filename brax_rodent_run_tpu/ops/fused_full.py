@@ -48,6 +48,18 @@ _MINIMP = 0.0001
 _MAXIMP = 0.9999
 _MINVAL = 1e-15
 
+
+def _paired_chol(sc, ablate: str) -> bool:
+  """Factor M and (M + h·diag(B)) in ONE pass on doubled lanes.
+
+  The two SPD factor+inverse chains are independent and lane-elementwise,
+  so stacking the damping matrix into lanes [E:2E) of the same scratch
+  halves the section's dependent-op chain at identical flops (the kernel
+  is latency-bound — PERF_NOTES.md). Costs 2x the factor-scratch VMEM.
+  BRR_CHOL_SPLIT=1 restores the two sequential passes (A/B lever)."""
+  return (sc.eulerdamp and not os.environ.get("BRR_CHOL_SPLIT")
+          and "damp" not in ablate and "chol" not in ablate)
+
 FORCE_INTERPRET = False
 
 
@@ -637,14 +649,28 @@ def _emit_dynamics(m: Model, ablate: str, C, scr, qpos, qvel, actv, ctrl,
     # evals x 2 reductions); the MXU form pipelines.
     return mxu(jnp.ones((1, x.shape[0]), jnp.float32), x)[0]
 
+  # paired mode (scratches built 2E wide, see _paired_chol): factor M in
+  # lanes [:E] and the Euler implicit-damping matrix M + h·diag(B) in
+  # lanes [E:] in ONE interleaved chain — the two factorizations are
+  # independent, so the doubled lanes fill each other's pipeline stalls
+  paired = scr[0].shape[-1] == 2 * E
   if "chol" in ablate:
     scr[2][:] = (jnp.eye(np_, dtype=jnp.float32)[:, :, None]
               + jnp.zeros((np_, np_, E), jnp.float32))
+  elif paired:
+    hb = C["HBD"][:]
+    eyeP = (jax.lax.broadcasted_iota(jnp.int32, (np_, np_, 1), 0)
+            == jax.lax.broadcasted_iota(jnp.int32, (np_, np_, 1), 1)
+            ).astype(qm.dtype)
+    scr[0][:, :, :E] = qm
+    scr[0][:, :, E:] = qm + eyeP * hb[:, None, :]
+    _chol_inplace(np_, np_, scr[0], scr[1])
+    _inv_from_chol_inplace(np_, scr[1], scr[0], scr[2])
   else:
     scr[0][:] = qm
     _chol_inplace(np_, np_, scr[0], scr[1])
     _inv_from_chol_inplace(np_, scr[1], scr[0], scr[2])
-  qminv = scr[2][:]
+  qminv = scr[2][:, :, :E] if paired else scr[2][:]
 
   # ================= com_vel / rne =================
   scaled = [cdof[c] * qvel for c in range(6)]
@@ -911,20 +937,25 @@ def _emit_dynamics(m: Model, ablate: str, C, scr, qpos, qvel, actv, ctrl,
   # ================= implicit damping + integration =================
   qacc_int = x
   if eulerdamp and "damp" not in ablate:
-    # EXACT (M + h·diag(B))^-1 qfrc via a second blocked factor+inverse
-    # (MuJoCo mj_solveLD semantics; the 6-iteration preconditioned CG
-    # used through round 2 left ~8e-3 relative error on contact-rich
-    # states). Reuses the scratches: qminv (scr[2]) is dead after the
-    # constraint CG, scr[0]/scr[1] after the first factorization.
+    # EXACT (M + h·diag(B))^-1 qfrc (MuJoCo mj_solveLD semantics; the
+    # 6-iteration preconditioned CG used through round 2 left ~8e-3
+    # relative error on contact-rich states). In paired mode the inverse
+    # was already produced in lanes [E:] of the single early
+    # factor+inverse pass; otherwise run the second blocked pass here,
+    # reusing the scratches (qminv/scr[2] is dead after the constraint
+    # CG, scr[0]/scr[1] after the first factorization).
     qfrc = qfs + qfrc_constraint
-    hb = C["HBD"][:]
-    eye2 = (jax.lax.broadcasted_iota(jnp.int32, (np_, np_, 1), 0)
-            == jax.lax.broadcasted_iota(jnp.int32, (np_, np_, 1), 1)
-            ).astype(qm.dtype)
-    scr[0][:] = qm + eye2 * hb[:, None, :]
-    _chol_inplace(np_, np_, scr[0], scr[1])
-    _inv_from_chol_inplace(np_, scr[1], scr[0], scr[2])
-    qacc_int = mmul0(scr[2][:], qfrc)
+    if paired:
+      qacc_int = mmul0(scr[2][:, :, E:], qfrc)
+    else:
+      hb = C["HBD"][:]
+      eye2 = (jax.lax.broadcasted_iota(jnp.int32, (np_, np_, 1), 0)
+              == jax.lax.broadcasted_iota(jnp.int32, (np_, np_, 1), 1)
+              ).astype(qm.dtype)
+      scr[0][:] = qm + eye2 * hb[:, None, :]
+      _chol_inplace(np_, np_, scr[0], scr[1])
+      _inv_from_chol_inplace(np_, scr[1], scr[0], scr[2])
+      qacc_int = mmul0(scr[2][:], qfrc)
 
   qvel_new = qvel + H * qacc_int
   qpos_new = qpos + mxu(C["QVH"][:], qvel_new)
@@ -968,6 +999,7 @@ def _kernel(m: Model, interpret: bool = False, ablate: str = ""):
   nbody, Js, np_, ncon, nc3 = sc.nbody, sc.Js, sc.np_, sc.ncon, sc.nc3
   nq, nu, na_p, nlimit, ncr = sc.nq, sc.nu, sc.na_p, sc.nlimit, sc.ncr
   E = _LANES
+  Ws = 2 * E if _paired_chol(sc, ablate) else E  # factor-scratch lanes
   cnames, cvals = _build_consts(m)
 
   n_in = 14  # dynamic inputs
@@ -1032,9 +1064,9 @@ def _kernel(m: Model, interpret: bool = False, ablate: str = ""):
         in_specs=[const_spec(c.shape) for c in cvals] + [
             spec(r) for r in in_rows],
         out_specs=tuple(spec(r) for r in out_rows),
-        scratch_shapes=[pltpu.VMEM((np_, np_, E), jnp.float32),
-                        pltpu.VMEM((np_, np_, E), jnp.float32),
-                        pltpu.VMEM((np_, np_, E), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((np_, np_, Ws), jnp.float32),
+                        pltpu.VMEM((np_, np_, Ws), jnp.float32),
+                        pltpu.VMEM((np_, np_, Ws), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=128 * 1024 * 1024),
         interpret=interpret,
@@ -1197,6 +1229,7 @@ def _kernel_steps(m: Model, n_frames: int, interpret: bool = False,
   nbody, Js, np_, ncon, nc3 = sc.nbody, sc.Js, sc.np_, sc.ncon, sc.nc3
   nq, nu, na_p, nlimit, ncr = sc.nq, sc.nu, sc.na_p, sc.nlimit, sc.ncr
   E = _LANES
+  Ws = 2 * E if _paired_chol(sc, "") else E      # factor-scratch lanes
   cnames, cvals = _build_consts(m)
 
   if lean:
@@ -1300,9 +1333,9 @@ def _kernel_steps(m: Model, n_frames: int, interpret: bool = False,
         in_specs=[const_spec(np.asarray(c).shape) for c in cvals] + [
             spec(r) for r in in_rows],
         out_specs=tuple(spec(r) for r in out_rows),
-        scratch_shapes=[pltpu.VMEM((np_, np_, E), jnp.float32),
-                        pltpu.VMEM((np_, np_, E), jnp.float32),
-                        pltpu.VMEM((np_, np_, E), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((np_, np_, Ws), jnp.float32),
+                        pltpu.VMEM((np_, np_, Ws), jnp.float32),
+                        pltpu.VMEM((np_, np_, Ws), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=128 * 1024 * 1024),
         interpret=interpret,

@@ -71,6 +71,29 @@ class EfcLayout:
   con_includemargin: np.ndarray  # (ncon,)
 
 
+def _warn_single_point_pairs(m: Model) -> None:
+  """Box-box / ellipsoid-box narrow-phase uses a single-point MTD descent
+  on corner-smoothed supports (physics/collision.py), not MuJoCo's
+  multi-point face manifolds — adequate for incidental pairs (the rodent
+  head geoms) but under-constrained for face-resting stacks (ADVICE r2).
+  Warn once per model class so such models don't ship silently."""
+  import warnings
+  from brax_rodent_run_tpu.physics.types import GeomType
+  single_pt = {(GeomType.BOX, GeomType.BOX),
+               (GeomType.ELLIPSOID, GeomType.BOX),
+               (GeomType.BOX, GeomType.ELLIPSOID)}
+  hits = [
+      s for s in m.contact_slots
+      if (GeomType(int(m.geom_type[s.geom1])),
+          GeomType(int(m.geom_type[s.geom2]))) in single_pt]
+  if hits:
+    warnings.warn(
+        f"{len(hits)} box-box/ellipsoid-box contact pair(s) use a "
+        "single-deepest-point contact (no face manifold): fine for "
+        "incidental contacts, under-constrained for face-resting "
+        "box stacks", stacklevel=3)
+
+
 @functools.lru_cache(maxsize=64)
 def efc_layout(m: Model) -> EfcLayout:
   lim_dof, lim_ten, lim_sign, lim_bound = [], [], [], []
@@ -109,6 +132,7 @@ def efc_layout(m: Model) -> EfcLayout:
   c_solref, c_solimp, c_margin, c_iw = [], [], [], []
   body1, body2, incmargin = [], [], []
   point = 0
+  _warn_single_point_pairs(m)
   for s in m.contact_slots:
     b1 = int(m.geom_bodyid[s.geom1])
     b2 = int(m.geom_bodyid[s.geom2])

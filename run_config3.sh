@@ -1,0 +1,30 @@
+#!/bin/bash
+# Config-3 learning run (VERDICT r2 #5): rodent mocap-tracking PPO at
+# 2048 envs on one chip, >=50M env steps, metrics JSONL + eval curve.
+# Anchored on /root/reference/brax_rodent_run_ppo.py:97-114 hyperparams
+# (the typed-config defaults reproduce them; we shorten num_timesteps —
+# 500M at the reference scale is a multi-day single-chip run).
+#
+# Usage: ./run_config3.sh [num_timesteps] [num_envs]
+set -u
+cd "$(dirname "$0")"
+STEPS=${1:-50000000}
+ENVS=${2:-2048}
+probe() {
+  timeout 90 python -c "
+import jax, jax.numpy as jnp
+print('tpu ok', float((jnp.ones((8,8))@jnp.ones((8,8))).sum()))" \
+    >/dev/null 2>&1
+}
+if ! probe; then echo "TPU tunnel DOWN — aborting"; exit 1; fi
+mkdir -p runs
+python train_rodent.py \
+  env.model_xml=rodent_optimized.xml \
+  ppo.num_timesteps="$STEPS" ppo.num_envs="$ENVS" \
+  ppo.num_evals=10 \
+  run.render_video=false run.log_wandb=false \
+  run.run_name="config3_${ENVS}env_${STEPS}" \
+  run.logdir=runs run.checkpoint_dir=runs/ckpts \
+  2>&1 | tee "runs/config3_${ENVS}env_${STEPS}.log"
+python make_learning_report.py "runs/config3_${ENVS}env_${STEPS}" \
+  --out LEARNING.md

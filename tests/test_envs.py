@@ -80,32 +80,23 @@ def test_wrapped_batch_autoreset(humanoid_env):
 def test_lean_autoreset_matches_classic(humanoid_env):
   """LeanAutoResetWrapper's OBSERVABLE behavior (qpos/qvel/act/obs/
   reward/done/steps) must equal classic AutoResetWrapper step-for-step,
-  including across auto-resets."""
-  batch = 3
-  rng = jax.random.split(jax.random.PRNGKey(11), batch)
-  envc = wrap_for_training(humanoid_env, episode_length=3)
-  envl = wrap_for_training(humanoid_env, episode_length=3,
-                           lean_autoreset=True)
-  sc = jax.jit(envc.reset)(rng)
-  sl = jax.jit(envl.reset)(rng)
-  stepc = jax.jit(envc.step)
-  stepl = jax.jit(envl.step)
-  key = jax.random.PRNGKey(5)
-  for t in range(7):
-    key, akey = jax.random.split(key)
-    a = jax.random.uniform(akey, (batch, humanoid_env.action_size),
-                           jnp.float32, -0.3, 0.3)
-    sc = stepc(sc, a)
-    sl = stepl(sl, a)
-    for name in ("obs", "reward", "done"):
-      np.testing.assert_array_equal(np.asarray(getattr(sc, name)),
-                                    np.asarray(getattr(sl, name)), name)
-    for f in ("qpos", "qvel", "act"):
-      np.testing.assert_array_equal(
-          np.asarray(getattr(sc.pipeline_state, f)),
-          np.asarray(getattr(sl.pipeline_state, f)), f)
-    np.testing.assert_array_equal(np.asarray(sc.info["steps"]),
-                                  np.asarray(sl.info["steps"]))
+  including across auto-resets (Humanoid declares autoreset_carry_fields,
+  so this also audits that declaration — envs/validate.py)."""
+  from brax_rodent_run_tpu.envs.validate import (
+      assert_lean_autoreset_equivalent)
+  assert_lean_autoreset_equivalent(humanoid_env)
+
+
+@pytest.mark.slow
+def test_lean_autoreset_matches_classic_rodent(rodent_env):
+  """The production bench/training combo is Rodent + lean_autoreset; the
+  flagship env must pass the same audit (ADVICE r2: a new env forgetting
+  autoreset_carry_fields silently computes its first post-reset reward
+  from the pre-reset trajectory)."""
+  from brax_rodent_run_tpu.envs.validate import (
+      assert_lean_autoreset_equivalent)
+  assert_lean_autoreset_equivalent(rodent_env, episode_length=2, batch=2,
+                                   n_steps=5)
 
 
 def test_autoreset_restores_first_state(humanoid_env):

@@ -626,3 +626,80 @@ def test_fused_steps_kernel_matches_core(monkeypatch):
       # with a cap so the sentinel doesn't swamp the tolerance
       a, b = np.minimum(a, 1e3), np.minimum(b, 1e3)
     np.testing.assert_allclose(a, b, rtol=5e-3, atol=5e-3, err_msg=name)
+
+
+def test_fused_steps_kernel_lanes256(monkeypatch):
+  """BRR_FF_LANES=256 (the tpu_sweep.sh latency experiment: half the
+  serial grid blocks, 2x lanes per instruction) must be semantics-
+  preserving. _LANES is read at kernel/const build time, so flip the
+  module constant and clear every lanes-dependent builder cache."""
+  monkeypatch.delenv("BRR_NO_FUSED", raising=False)
+  from brax_rodent_run_tpu.ops import fused_full as ff
+
+  m = _fused3_model()
+  assert ff.eligible_steps(m)
+  batch = _fused2_batch(m)
+  n_frames = 2
+
+  args = (batch.qpos, batch.qvel, batch.act, batch.ctrl,
+          batch.qfrc_applied)
+  ref = jax.vmap(lambda *a: ff._core_steps(m, n_frames, *a))(*args)
+
+  def _clear_lane_caches():
+    ff._build_consts.cache_clear()
+    ff._kernel.cache_clear()
+    ff._kernel_steps.cache_clear()
+
+  monkeypatch.setattr(ff, "_LANES", 256)
+  _clear_lane_caches()
+  ff.FORCE_INTERPRET = True
+  try:
+    out = ff.fused_steps_batched(m, n_frames, *args)
+  finally:
+    ff.FORCE_INTERPRET = False
+    monkeypatch.undo()
+    _clear_lane_caches()
+  names = _FF_NAMES + ("qpos_pre", "con_dist", "con_pos", "con_frame")
+  for name, a, b in zip(names, out, ref):
+    a, b = np.asarray(a), np.asarray(b)
+    if name == "con_dist":
+      a, b = np.minimum(a, 1e3), np.minimum(b, 1e3)
+    np.testing.assert_allclose(a, b, rtol=5e-3, atol=5e-3, err_msg=name)
+
+
+def test_fused_steps_kernel_chol_split(monkeypatch):
+  """BRR_CHOL_SPLIT=1 (two sequential factor+inverse passes instead of
+  the paired doubled-lane pass) must stay semantics-identical — it is
+  the A/B + VMEM-relief fallback on models where 2E-wide factor
+  scratches don't fit."""
+  monkeypatch.delenv("BRR_NO_FUSED", raising=False)
+  monkeypatch.setenv("BRR_CHOL_SPLIT", "1")
+  from brax_rodent_run_tpu.ops import fused_full as ff
+
+  m = _fused3_model()
+  assert ff.eligible_steps(m)
+  batch = _fused2_batch(m)
+  n_frames = 2
+
+  args = (batch.qpos, batch.qvel, batch.act, batch.ctrl,
+          batch.qfrc_applied)
+  ref = jax.vmap(lambda *a: ff._core_steps(m, n_frames, *a))(*args)
+
+  def _clear():
+    ff._kernel.cache_clear()
+    ff._kernel_steps.cache_clear()
+
+  _clear()
+  ff.FORCE_INTERPRET = True
+  try:
+    out = ff.fused_steps_batched(m, n_frames, *args)
+  finally:
+    ff.FORCE_INTERPRET = False
+    monkeypatch.undo()
+    _clear()
+  names = _FF_NAMES + ("qpos_pre", "con_dist", "con_pos", "con_frame")
+  for name, a, b in zip(names, out, ref):
+    a, b = np.asarray(a), np.asarray(b)
+    if name == "con_dist":
+      a, b = np.minimum(a, 1e3), np.minimum(b, 1e3)
+    np.testing.assert_allclose(a, b, rtol=5e-3, atol=5e-3, err_msg=name)
