@@ -184,13 +184,15 @@ def _main_with_fallback():
     return
   ladders = [
       {},                                          # fast path
-      {"BRR_CHOL_COL": "1"},                       # per-column Cholesky
-      {"BRR_CHOL_COL": "1", "BRR_NO_FUSED3": "1"}, # v2 substep kernel
+      {"BRR_CHOL_SPLIT": "1"},                     # unpaired factor passes
+      {"BRR_CHOL_SPLIT": "1", "BRR_CHOL_COL": "1"},  # per-column Cholesky
+      {"BRR_CHOL_SPLIT": "1", "BRR_CHOL_COL": "1",
+       "BRR_NO_FUSED3": "1"},                      # v2 substep kernel
       {"BRR_NO_FUSED": "1"},                       # pure XLA stage path
   ]
   # first rung may pay a fresh multi-minute compile; later rungs are
   # retries and get a shorter leash so a dead tunnel can't eat the window
-  rung_timeouts = [2400.0, 1200.0, 1200.0, 1200.0]
+  rung_timeouts = [2400.0, 1800.0, 1200.0, 1200.0, 1200.0]
   for i, flags in enumerate(ladders):
     env = dict(os.environ, BRR_BENCH_NO_RETRY="1", BRR_BENCH_RUNG=str(i),
                BRR_BENCH_RUNG_FLAGS=json.dumps(flags), **flags)
