@@ -544,6 +544,18 @@ def _emit_dynamics(m: Model, ablate: str, C, scr, qpos, qvel, actv, ctrl,
   ``C`` maps const names to refs OR plain arrays (``x[:]`` reads both).
   Returns the _DYN_OUT tuple."""
   from brax_rodent_run_tpu.ops.cholesky import chol_routines
+  # NOTE on the shelved "tree-sparse Cholesky" idea (PERF_NOTES r2): it
+  # is INVALID in this formulation. Parents-first lower Cholesky of a
+  # branched kinematic tree FILLS outside the ancestor pattern
+  # (eliminating the root couples all of its branches), so capping the
+  # trailing updates at the subtree extent changes the result — proven
+  # by tests/test_ops.py::test_tree_sparse_cholesky_matches_dense_rodent
+  # (2.6e-3 factor errors on the real rodent qM). The no-fill
+  # factorization is MuJoCo's LEAF-FIRST L^T D L, whose per-column
+  # update sets are root-paths (non-contiguous): in the batch-in-lanes
+  # layout they need ~depth scattered row ops per column, i.e. ~10x MORE
+  # dependent instructions than the dense blocked panels — a losing
+  # trade on a latency-bound kernel.
   _chol_inplace, _inv_from_chol_inplace = chol_routines()
   st2 = statics2(m)
   sc = _scalars(m)

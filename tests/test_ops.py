@@ -703,3 +703,53 @@ def test_fused_steps_kernel_chol_split(monkeypatch):
     if name == "con_dist":
       a, b = np.minimum(a, 1e3), np.minimum(b, 1e3)
     np.testing.assert_allclose(a, b, rtol=5e-3, atol=5e-3, err_msg=name)
+
+
+def test_tree_sparse_cholesky_matches_dense_rodent():
+  """The blocked kernel factor matches the XLA oracle on the REAL rodent
+  mass matrix — and the factor provably FILLS outside the kinematic-tree
+  ancestor pattern. The fill assertion pins why the shelved
+  'tree-sparse Cholesky' lever is invalid in this formulation
+  (parents-first lower Cholesky of a BRANCHED tree is not fill-free —
+  eliminating the root couples its branches; capping trailing updates at
+  the subtree extent produced 2.6e-3 factor errors when tried). The
+  fill-free factorization is MuJoCo's leaf-first L^T D L with
+  root-path (non-contiguous) update sets — see the note in
+  ops/fused_full._emit_dynamics."""
+  import mujoco
+  from tests.conftest import model_path
+  from brax_rodent_run_tpu.mjcf.from_mj import from_mj_model
+  from brax_rodent_run_tpu.physics import smooth
+  from brax_rodent_run_tpu.physics.tree import masks
+  from brax_rodent_run_tpu.physics.types import make_data
+
+  m = from_mj_model(mujoco.MjModel.from_xml_path(
+      model_path("rodent_new.xml")))
+  d = make_data(m, dtype=jnp.float32)
+  key = jax.random.PRNGKey(3)
+  qpos = jnp.asarray(m.qpos0, jnp.float32) + jax.random.uniform(
+      key, (m.nq,), jnp.float32, -0.1, 0.1)
+  d = smooth.crb(m, smooth.com_pos(m, smooth.kinematics(
+      m, d.replace(qpos=qpos))), factor=False)
+  qM = jnp.asarray(d.qM, jnp.float32)[None]        # (1, nv, nv)
+  B = 128
+  jit_b = 1.0 + 0.01 * jnp.arange(B, dtype=jnp.float32)
+  Mb = qM * jit_b[:, None, None]                   # SPD, tree pattern
+
+  chol_mod.FORCE_INTERPRET = True
+  try:
+    L = chol_mod.cholesky_batched(Mb)
+  finally:
+    chol_mod.FORCE_INTERPRET = False
+  ref = jax.scipy.linalg.cholesky(Mb, lower=True)
+  np.testing.assert_allclose(np.asarray(L), np.asarray(ref),
+                             rtol=2e-4, atol=2e-4, err_msg="oracle")
+
+  # fill outside the ancestor pattern is real and sizable
+  qmm = np.asarray(masks(m).qm_upper)              # [i,j]: i anc-of j
+  pattern = ((qmm + qmm.T) > 0)                    # comparable dof pairs
+  outside = np.tril(~pattern, -1)
+  fill_mag = np.abs(np.asarray(L[0]))[outside]
+  assert fill_mag.max() > 1e-4, (
+      "expected Cholesky fill outside the tree pattern; if this ever "
+      "becomes zero the tree-capped factorization would be valid")
