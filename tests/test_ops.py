@@ -753,3 +753,56 @@ def test_tree_sparse_cholesky_matches_dense_rodent():
   assert fill_mag.max() > 1e-4, (
       "expected Cholesky fill outside the tree pattern; if this ever "
       "becomes zero the tree-capped factorization would be valid")
+
+
+@pytest.mark.slow
+def test_fused_steps_kernel_rodent_interpret(monkeypatch):
+  """Whole-control-step kernel parity on the REAL rodent model (the
+  mini-model tests cover the code paths; this covers the full-scale
+  static tables: 67-body FK levels, 370-row constraint packing,
+  8-iteration CG on a contact-rich state). Calibrated tolerance: qacc
+  and its downstream products carry ~5e-3 relative spread from benign
+  f32 reassociation amplified by the truncated CG + exact line search
+  (measured: paired-vs-split factorization — bit-identical math,
+  different op shapes — differs by 4.3e-3 on qacc; kernel-vs-XLA-core
+  by 6.2e-3). Anything ~10x beyond that is a real semantic break."""
+  import mujoco
+  # NOTE: importing tests.conftest re-runs its BRR_NO_FUSED setdefault
+  # (namespace-package double import under pytest), so it must precede
+  # the delenv — not follow it.
+  from tests.conftest import model_path
+  from brax_rodent_run_tpu.mjcf.from_mj import from_mj_model
+  from brax_rodent_run_tpu.ops import fused_full as ff
+  monkeypatch.delenv("BRR_NO_FUSED", raising=False)
+
+  mj = mujoco.MjModel.from_xml_path(model_path("rodent_optimized.xml"))
+  mj.opt.jacobian = 0
+  mj.opt.solver = mujoco.mjtSolver.mjSOL_CG
+  mj.opt.iterations = 8
+  mj.opt.ls_iterations = 8
+  m = from_mj_model(mj)
+  assert ff.eligible_steps(m)
+  B = 8
+  key = jax.random.PRNGKey(0)
+  k1, k2, k3 = jax.random.split(key, 3)
+  qpos = jnp.tile(jnp.asarray(m.qpos0, jnp.float32), (B, 1)) + \
+      jax.random.uniform(k1, (B, m.nq), jnp.float32, -0.02, 0.02)
+  qvel = jax.random.uniform(k2, (B, m.nv), jnp.float32, -0.3, 0.3)
+  act = jnp.zeros((B, m.na), jnp.float32)
+  ctrl = jax.random.uniform(k3, (B, m.nu), jnp.float32, -0.5, 0.5)
+  qfa = jnp.zeros((B, m.nv), jnp.float32)
+  args = (qpos, qvel, act, ctrl, qfa)
+  n_frames = 2
+
+  ref = jax.vmap(lambda *a: ff._core_steps(m, n_frames, *a))(*args)
+  ff.FORCE_INTERPRET = True
+  try:
+    out = ff.fused_steps_batched(m, n_frames, *args)
+  finally:
+    ff.FORCE_INTERPRET = False
+  assert len(out) == len(ref)
+  for i, (a, b) in enumerate(zip(out, ref)):
+    a = np.clip(np.asarray(a, np.float64), -1e10, 1e3)
+    b = np.clip(np.asarray(b, np.float64), -1e10, 1e3)
+    err = np.max(np.abs(a - b) / (1.0 + np.abs(b)))
+    assert err < 5e-2, f"output {i}: rel err {err}"
