@@ -806,3 +806,51 @@ def test_fused_steps_kernel_rodent_interpret(monkeypatch):
     b = np.clip(np.asarray(b, np.float64), -1e10, 1e3)
     err = np.max(np.abs(a - b) / (1.0 + np.abs(b)))
     assert err < 5e-2, f"output {i}: rel err {err}"
+
+
+@pytest.mark.slow
+def test_fused_steps_kernel_pair_interpret(monkeypatch):
+  """Same full-scale kernel parity for rodent_pair.xml (nv=146, np_=152,
+  TWO free-joint trees — BASELINE config 5's single-chip leg). The
+  pair-model v3 eligibility was previously proven only on a mini
+  two-free-tree model; this runs the real static tables through the
+  interpret-mode kernel so the Mosaic compile is the only remaining
+  unknown."""
+  import mujoco
+  from tests.conftest import model_path
+  from brax_rodent_run_tpu.mjcf.from_mj import from_mj_model
+  from brax_rodent_run_tpu.ops import fused_full as ff
+  monkeypatch.delenv("BRR_NO_FUSED", raising=False)
+
+  mj = mujoco.MjModel.from_xml_path(model_path("rodent_pair.xml"))
+  mj.opt.jacobian = 0
+  mj.opt.solver = mujoco.mjtSolver.mjSOL_CG
+  mj.opt.iterations = 8
+  mj.opt.ls_iterations = 8
+  m = from_mj_model(mj)
+  assert ff.eligible_steps(m)
+  assert len(ff.statics2(m).free_js) == 2
+  B = 4
+  key = jax.random.PRNGKey(1)
+  k1, k2, k3 = jax.random.split(key, 3)
+  qpos = jnp.tile(jnp.asarray(m.qpos0, jnp.float32), (B, 1)) + \
+      jax.random.uniform(k1, (B, m.nq), jnp.float32, -0.02, 0.02)
+  qvel = jax.random.uniform(k2, (B, m.nv), jnp.float32, -0.3, 0.3)
+  act = jnp.zeros((B, m.na), jnp.float32)
+  ctrl = jax.random.uniform(k3, (B, m.nu), jnp.float32, -0.5, 0.5)
+  qfa = jnp.zeros((B, m.nv), jnp.float32)
+  args = (qpos, qvel, act, ctrl, qfa)
+  n_frames = 2
+
+  ref = jax.vmap(lambda *a: ff._core_steps(m, n_frames, *a))(*args)
+  ff.FORCE_INTERPRET = True
+  try:
+    out = ff.fused_steps_batched(m, n_frames, *args)
+  finally:
+    ff.FORCE_INTERPRET = False
+  assert len(out) == len(ref)
+  for i, (a, b) in enumerate(zip(out, ref)):
+    a = np.clip(np.asarray(a, np.float64), -1e10, 1e3)
+    b = np.clip(np.asarray(b, np.float64), -1e10, 1e3)
+    err = np.max(np.abs(a - b) / (1.0 + np.abs(b)))
+    assert err < 5e-2, f"output {i}: rel err {err}"
