@@ -62,6 +62,28 @@ def _paired_chol(sc, ablate: str) -> bool:
 
 FORCE_INTERPRET = False
 
+# Parallel line search (BRR_LS_PAR=1, experimental A/B lever): replace the
+# n_ls SEQUENTIAL Newton refinements of the CG step size with ONE batched
+# evaluation of phi'(alpha) at _LS_SCALES multiples of the first Newton
+# iterate (segment row-sums via a one-hot MXU matmul), a bracketed secant
+# on the monotone piecewise-linear phi', and _LS_POLISH Newton polish
+# steps.  Dependent-op chain per CG iteration: 1 + n_ls full passes ->
+# 1 + 1 + _LS_POLISH (executed flops rise ~25%, irrelevant at ~2% MFU —
+# PERF_NOTES.md "latency-bound").  Changes step sizes within line-search
+# tolerance, NOT solver semantics: phi' is nondecreasing piecewise-linear
+# (hh >= 0), so a true bracket + secant + Newton lands within the same
+# tolerance envelope as Newton-only iteration (parity-tested on the real
+# rodent model vs the sequential path).
+_LS_SCALES = (0.25, 0.5, 1.0, 2.0, 4.0, 8.0, 16.0)
+
+
+def _ls_par() -> bool:
+  return bool(os.environ.get("BRR_LS_PAR"))
+
+
+def _ls_polish() -> int:
+  return int(os.environ.get("BRR_LS_PAR_POLISH", "2"))
+
 
 def _round_up(x, m):
   return ((x + m - 1) // m) * m
@@ -912,9 +934,61 @@ def _emit_dynamics(m: Model, ablate: str, C, scr, qpos, qvel, actv, ctrl,
 
     g0, h0 = dphi(jnp.zeros((E,), jnp.float32))
     alpha = -g0 / jnp.maximum(h0, 1e-15)
-    for _i in range(0 if "ls" in ablate else n_ls):
-      gg, hh = dphi(alpha)
-      alpha = alpha - gg / jnp.maximum(hh, 1e-15)
+    if _ls_par() and "ls" not in ablate and n_ls > 0:
+      # -------- parallel line search (see _LS_SCALES note) --------
+      Kc = len(_LS_SCALES)
+      nR = jar.shape[0]
+      alphas = jnp.stack([alpha * s for s in _LS_SCALES])      # (Kc, E)
+      jart = jnp.concatenate([jar] * Kc, axis=0)               # (Kc*nR, E)
+      jpt = jnp.concatenate([Jp] * Kc, axis=0)
+      Dt = jnp.concatenate([D] * Kc, axis=0)
+      at = jnp.concatenate(
+          [jnp.broadcast_to(alphas[k][None, :], (nR, E))
+           for k in range(Kc)], axis=0)
+      j = jart + at * jpt
+      dJp = jnp.where(j < 0, Dt, 0.0) * jpt
+      # segment row-sums via a one-hot MXU matmul (cross-sublane VPU
+      # reductions are the latency bound this lever removes)
+      rid = jax.lax.broadcasted_iota(jnp.int32, (Kc, Kc * nR), 1) // nR
+      kid = jax.lax.broadcasted_iota(jnp.int32, (Kc, Kc * nR), 0)
+      SEG = (rid == kid).astype(jnp.float32)
+      gseg = mxu(SEG, dJp * j)                                 # (Kc, E)
+      hseg = mxu(SEG, dJp * jpt)
+      gg_k = pMdx[None, :] + alphas * pMp[None, :] + gseg
+      hh_k = pMp[None, :] + hseg
+      # bracket the root of the nondecreasing piecewise-linear phi';
+      # the alpha=0 anchor (g0) seeds whichever side matches its sign
+      BIG = jnp.float32(3e38)
+      zero = jnp.zeros((E,), jnp.float32)
+      pos0 = g0 >= 0
+      a_lo, g_lo = zero, jnp.where(pos0, -BIG, g0)
+      a_hi, g_hi = zero, jnp.where(pos0, g0, BIG)
+      h_lo = h_hi = h0
+      for k in range(Kc):
+        neg = gg_k[k] < 0
+        bl = neg & (gg_k[k] > g_lo)
+        a_lo = jnp.where(bl, alphas[k], a_lo)
+        g_lo = jnp.where(bl, gg_k[k], g_lo)
+        h_lo = jnp.where(bl, hh_k[k], h_lo)
+        bh = (~neg) & (gg_k[k] < g_hi)
+        a_hi = jnp.where(bh, alphas[k], a_hi)
+        g_hi = jnp.where(bh, gg_k[k], g_hi)
+        h_hi = jnp.where(bh, hh_k[k], h_hi)
+      has_lo = g_lo > -0.5 * BIG
+      has_hi = g_hi < 0.5 * BIG
+      secant = (a_lo * g_hi - a_hi * g_lo) / jnp.maximum(
+          g_hi - g_lo, 1e-15)
+      newton_hi = a_hi - g_hi / jnp.maximum(h_hi, 1e-15)
+      newton_lo = a_lo - g_lo / jnp.maximum(h_lo, 1e-15)
+      alpha = jnp.where(has_lo & has_hi, secant,
+                        jnp.where(has_hi, newton_hi, newton_lo))
+      for _i in range(_ls_polish()):
+        gg, hh = dphi(alpha)
+        alpha = alpha - gg / jnp.maximum(hh, 1e-15)
+    else:
+      for _i in range(0 if "ls" in ablate else n_ls):
+        gg, hh = dphi(alpha)
+        alpha = alpha - gg / jnp.maximum(hh, 1e-15)
 
     x_n = x + alpha[None, :] * p
     dx_n = dx + alpha[None, :] * p
@@ -1527,9 +1601,14 @@ def flops_per_env_substep(m: Model) -> float:
   # constraint rows: impedance etc ~40 flops/row + contact-jac factor ops
   efc = 40.0 * nefc + 6 * 2.0 * nc3 * np_
   # CG: per iteration ~1 crb_mul + 1 preconditioner + 2 factored-J
-  # applications (nc3 x np_) + line search (nls+1 evals x ~8 nefc)
+  # applications (nc3 x np_) + line search (nls+1 evals x ~8 nefc;
+  # under BRR_LS_PAR: 1 + Kc-wide batched eval + polish evals)
+  if _ls_par() and nls > 0:
+    ls_evals = 1.0 + len(_LS_SCALES) + _ls_polish()
+  else:
+    ls_evals = nls + 1.0
   cg = it * (crb_mul + pre + 4 * 2.0 * nc3 * np_
-             + (nls + 1) * 8.0 * nefc)
+             + ls_evals * 8.0 * nefc)
   # implicit damping: exact second blocked factor + inverse + matvec
   damp = (chol + inv + pre) if sc.eulerdamp else 0.0
   # smooth acceleration + actuation + integration: small

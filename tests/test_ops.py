@@ -854,3 +854,102 @@ def test_fused_steps_kernel_pair_interpret(monkeypatch):
     b = np.clip(np.asarray(b, np.float64), -1e10, 1e3)
     err = np.max(np.abs(a - b) / (1.0 + np.abs(b)))
     assert err < 5e-2, f"output {i}: rel err {err}"
+
+
+def test_fused_steps_kernel_ls_par(monkeypatch):
+  """BRR_LS_PAR=1 (parallel line search: one batched phi' evaluation at
+  _LS_SCALES candidates + bracketed secant + Newton polish, replacing the
+  n_ls sequential Newton refinements) must stay within the calibrated
+  truncated-CG envelope of the SEQUENTIAL stage-path reference.  Unlike
+  BRR_CHOL_SPLIT this changes step sizes within line-search tolerance, so
+  the bound is the 5e-2 envelope used by the full-scale parity tests, not
+  bitwise rtol (measured on this model: 7.3e-3 worst — same band as the
+  6.2e-3 kernel-vs-core f32 reassociation noise)."""
+  monkeypatch.delenv("BRR_NO_FUSED", raising=False)
+  monkeypatch.setenv("BRR_LS_PAR", "1")
+  from brax_rodent_run_tpu.ops import fused_full as ff
+
+  m = _fused3_model()
+  assert ff.eligible_steps(m)
+  batch = _fused2_batch(m)
+  n_frames = 2
+
+  args = (batch.qpos, batch.qvel, batch.act, batch.ctrl,
+          batch.qfrc_applied)
+  monkeypatch.delenv("BRR_LS_PAR", raising=False)
+  ref = jax.vmap(lambda *a: ff._core_steps(m, n_frames, *a))(*args)
+  monkeypatch.setenv("BRR_LS_PAR", "1")
+
+  def _clear():
+    ff._kernel.cache_clear()
+    ff._kernel_steps.cache_clear()
+
+  _clear()
+  ff.FORCE_INTERPRET = True
+  try:
+    out = ff.fused_steps_batched(m, n_frames, *args)
+  finally:
+    ff.FORCE_INTERPRET = False
+    monkeypatch.undo()
+    _clear()
+  assert len(out) == len(ref)
+  for i, (a, b) in enumerate(zip(out, ref)):
+    a = np.clip(np.asarray(a, np.float64), -1e10, 1e3)
+    b = np.clip(np.asarray(b, np.float64), -1e10, 1e3)
+    err = np.max(np.abs(a - b) / (1.0 + np.abs(b)))
+    assert err < 5e-2, f"output {i}: rel err {err}"
+
+
+@pytest.mark.slow
+def test_fused_steps_kernel_rodent_ls_par(monkeypatch):
+  """Full-scale BRR_LS_PAR parity on the REAL rodent model vs the
+  sequential-line-search stage reference: the lever must hold the same
+  5e-2 envelope as the default kernel on a contact-rich 370-row state
+  (where the active set actually changes across the line search) before
+  it can ever be flipped on by default."""
+  import mujoco
+  from tests.conftest import model_path
+  from brax_rodent_run_tpu.mjcf.from_mj import from_mj_model
+  from brax_rodent_run_tpu.ops import fused_full as ff
+  monkeypatch.delenv("BRR_NO_FUSED", raising=False)
+
+  mj = mujoco.MjModel.from_xml_path(model_path("rodent_optimized.xml"))
+  mj.opt.jacobian = 0
+  mj.opt.solver = mujoco.mjtSolver.mjSOL_CG
+  mj.opt.iterations = 8
+  mj.opt.ls_iterations = 8
+  m = from_mj_model(mj)
+  assert ff.eligible_steps(m)
+  B = 8
+  key = jax.random.PRNGKey(0)
+  k1, k2, k3 = jax.random.split(key, 3)
+  qpos = jnp.tile(jnp.asarray(m.qpos0, jnp.float32), (B, 1)) + \
+      jax.random.uniform(k1, (B, m.nq), jnp.float32, -0.02, 0.02)
+  qvel = jax.random.uniform(k2, (B, m.nv), jnp.float32, -0.3, 0.3)
+  act = jnp.zeros((B, m.na), jnp.float32)
+  ctrl = jax.random.uniform(k3, (B, m.nu), jnp.float32, -0.5, 0.5)
+  qfa = jnp.zeros((B, m.nv), jnp.float32)
+  args = (qpos, qvel, act, ctrl, qfa)
+  n_frames = 2
+
+  ref = jax.vmap(lambda *a: ff._core_steps(m, n_frames, *a))(*args)
+
+  def _clear():
+    ff._kernel.cache_clear()
+    ff._kernel_steps.cache_clear()
+
+  monkeypatch.setenv("BRR_LS_PAR", "1")
+  _clear()
+  ff.FORCE_INTERPRET = True
+  try:
+    out = ff.fused_steps_batched(m, n_frames, *args)
+  finally:
+    ff.FORCE_INTERPRET = False
+    monkeypatch.undo()
+    _clear()
+  assert len(out) == len(ref)
+  for i, (a, b) in enumerate(zip(out, ref)):
+    a = np.clip(np.asarray(a, np.float64), -1e10, 1e3)
+    b = np.clip(np.asarray(b, np.float64), -1e10, 1e3)
+    err = np.max(np.abs(a - b) / (1.0 + np.abs(b)))
+    assert err < 5e-2, f"output {i}: rel err {err}"

@@ -31,6 +31,10 @@ run ablate_cg            700 python profile_kernel.py --ablate cg
 run ablate_ls            700 python profile_kernel.py --ablate ls
 run ablate_damp          700 python profile_kernel.py --ablate damp
 BRR_FF_LANES=256 run bench_lanes256 1800 python bench.py
+# parallel line search: 1 batched phi' eval + secant + 2 Newton polish
+# instead of 7 sequential Newton refinements per CG iteration
+BRR_LS_PAR=1 run bench_lspar 1800 python bench.py
+BRR_LS_PAR=1 BRR_FF_LANES=256 run bench_lspar_lanes256 1800 python bench.py
 # 512 lanes: 4x independent instructions per dependent step; ~39 MB of
 # (np_,np_,512) f32 scratch per buffer — may exceed VMEM, failure is data
 BRR_FF_LANES=512 run bench_lanes512 1800 python bench.py
