@@ -127,15 +127,20 @@ def _chol_inplace_blocked(n, np_, a_ref, l_ref):
       l_ref[:, k, :] = col
       cols.append(col)
       if k + 1 < r1:
-        # narrow intra-panel update: only the remaining panel columns
+        # narrow intra-panel update: only the remaining panel columns.
+        # NB: slice into a temp BEFORE newaxis-indexing — a getitem
+        # mixing a bounded slice with None lowers to a gather this
+        # jax's Mosaic cannot compile (BENCH_r03 rung-0 failure).
+        cl, cr = col[kb:], col[k + 1:r1]
         a_ref[kb:, k + 1:r1, :] = (
-            a_ref[kb:, k + 1:r1, :]
-            - col[kb:, None, :] * col[None, k + 1:r1, :])
+            a_ref[kb:, k + 1:r1, :] - cl[:, None, :] * cr[None, :, :])
     if r1 < n:
       # one rank-(r1-kb) trailing update: independent terms, one store
-      upd = cols[0][r1:, None, :] * cols[0][None, r1:, :]
+      c0 = cols[0][r1:]
+      upd = c0[:, None, :] * c0[None, :, :]
       for col in cols[1:]:
-        upd = upd + col[r1:, None, :] * col[None, r1:, :]
+        ct = col[r1:]
+        upd = upd + ct[:, None, :] * ct[None, :, :]
       a_ref[r1:, r1:, :] = a_ref[r1:, r1:, :] - upd
   lanes = a_ref.shape[-1]
   for k in range(n, np_):                           # identity padding

@@ -6,7 +6,8 @@ set -u
 cd "$(dirname "$0")"
 mkdir -p perf_logs
 probe() {
-  timeout 60 python -c "
+  # cold backend init alone can take ~35 s through the tunnel
+  timeout 120 python -c "
 import jax, jax.numpy as jnp
 print('tpu ok', float((jnp.ones((8,8))@jnp.ones((8,8))).sum()))" \
     >/dev/null 2>&1
