@@ -685,11 +685,15 @@ def fused_entry(m: Model):
 
   @fused.def_vmap
   def _fused_vmap(axis_size, in_batched, *args):
-    del axis_size
+    # broadcast closed-over constants so the kernel and the vmap
+    # fallback both see a full batch axis (see fused_full._fused_vmap)
+    args = tuple(
+        a if b else jnp.broadcast_to(a, (axis_size,) + jnp.shape(a))
+        for a, b in zip(args, in_batched))
     use_kernel = (FORCE_INTERPRET
                   or (jax.default_backend() == "tpu"
                       and args[0].dtype == jnp.float32))
-    if use_kernel and all(in_batched):
+    if use_kernel:
       out = fused_batched(m, *args)
     else:
       out = jax.vmap(lambda *a: _core(m, *a))(*args)

@@ -1552,11 +1552,16 @@ def fused_steps_entry(m: Model, n_frames: int, lean: bool = False):
 
   @fused.def_vmap
   def _fused_vmap(axis_size, in_batched, *args):
-    del axis_size
+    # a closed-over constant (e.g. ctrl=zeros(nu)) arrives unbatched;
+    # broadcast it so both the kernel and the vmap fallback see a full
+    # batch axis (callers like profile_controlstep hit this)
+    args = tuple(
+        a if b else jnp.broadcast_to(a, (axis_size,) + jnp.shape(a))
+        for a, b in zip(args, in_batched))
     use_kernel = (FORCE_INTERPRET
                   or (jax.default_backend() == "tpu"
                       and args[0].dtype == jnp.float32))
-    if use_kernel and all(in_batched):
+    if use_kernel:
       out = fused_steps_batched(m, n_frames, *args, lean=lean)
     else:
       out = jax.vmap(core)(*args)
