@@ -146,19 +146,29 @@ def _emit_failure(reason: str) -> None:
   }), flush=True)
 
 
-def _probe_device(timeout_s: float = 90.0) -> bool:
+def _probe_device(timeout_s: float = 90.0, attempts: int = 3) -> bool:
   """Tiny-matmul probe in a CHILD process: when the axon tunnel is dead,
-  jax ops HANG rather than raise, so the probe must be killable."""
+  jax ops HANG rather than raise, so the probe must be killable.
+
+  Retried: a single client-session setup through the tunnel can hang
+  transiently while the chip is fine (r4 sweep: two probes failed at
+  13:06-13:09 bracketed by successful real runs at 13:05 and 13:12), so
+  one failed handshake must not blank the whole bench."""
   import subprocess
   import sys
   code = ("import jax, jax.numpy as jnp; "
           "print(float((jnp.ones((8,8)) @ jnp.ones((8,8))).sum()))")
-  try:
-    r = subprocess.run([sys.executable, "-c", code], timeout=timeout_s,
-                       capture_output=True)
-    return r.returncode == 0
-  except subprocess.TimeoutExpired:
-    return False
+  for i in range(attempts):
+    try:
+      r = subprocess.run([sys.executable, "-c", code], timeout=timeout_s,
+                         capture_output=True)
+      if r.returncode == 0:
+        return True
+    except subprocess.TimeoutExpired:
+      pass
+    if i + 1 < attempts:
+      print(f"[bench] probe attempt {i} failed; retrying", flush=True)
+  return False
 
 
 def _main_with_fallback():
@@ -180,14 +190,14 @@ def _main_with_fallback():
     main(**kwargs)                 # in-child: actually run the bench
     return
   if not _probe_device():
-    _emit_failure("tpu_unreachable: 8x8 matmul probe failed/hung (90s)")
+    _emit_failure("tpu_unreachable: 8x8 matmul probe failed/hung (3x90s)")
     return
   ladders = [
-      {},                                          # fast path
-      {"BRR_CHOL_SPLIT": "1"},                     # unpaired factor passes
-      {"BRR_CHOL_SPLIT": "1", "BRR_CHOL_COL": "1"},  # per-column Cholesky
-      {"BRR_CHOL_SPLIT": "1", "BRR_CHOL_COL": "1",
-       "BRR_NO_FUSED3": "1"},                      # v2 substep kernel
+      {},                                          # fast path (sparse LDL)
+      {"BRR_CHOL_DENSE": "1"},                     # dense blocked panels
+      {"BRR_CHOL_DENSE": "1", "BRR_CHOL_SPLIT": "1"},  # + unpaired passes
+      {"BRR_CHOL_DENSE": "1", "BRR_CHOL_SPLIT": "1",
+       "BRR_CHOL_COL": "1"},                       # per-column Cholesky
       {"BRR_NO_FUSED": "1"},                       # pure XLA stage path
   ]
   # first rung may pay a fresh multi-minute compile; later rungs are

@@ -1,19 +1,22 @@
-"""On-chip numerics gate (VERDICT r2 #7): run the golden truncated-f32
-rodent trajectory on the DEFAULT backend (TPU under the driver env) and
-diff against the CPU-generated golden `tests/data/rodent_new_trunc_f32.npz`.
+"""On-chip numerics gate (VERDICT r2 #7), two checks in one JSON line:
 
-Mosaic codegen / TPU fma-and-reduction order differences get a loose-f32
-chaos-amplified budget (the same budget the CPU cross-XLA-version pin in
-tests/test_truncated.py::test_truncated_f32_trajectory_golden uses);
-anything beyond it means TPU execution has semantically drifted from the
-trajectory the oracle-parity suite certifies, i.e. training physics on
-chip would silently differ from what the tests validate.
+1. kernel_vs_stage_err — the REAL Mosaic-kernel gate: one control step
+   (10 substeps) from the same state, batched (dispatches the fused
+   Pallas kernel via the custom-vmap rule) vs unbatched (XLA stage
+   composition), BOTH on the default backend. No cross-backend or
+   chaos-amplification noise; budget is the one-control-step f32
+   reassociation envelope. Round 4 discovery: the previous version of
+   this script rolled out UNBATCHED only, which never dispatches the
+   kernel — it was testing XLA-vs-XLA across backends.
 
-The rollout is a standalone re-statement of tests/test_truncated.py's
-_golden_rollout (that module imports tests.conftest, which pins the CPU
-backend at import time — exactly what this script must not do).
+2. golden_max_abs_err — the 20-control-step truncated-f32 trajectory
+   vs the CPU-generated golden tests/data/rodent_new_trunc_f32.npz
+   (unbatched XLA path). Chaos-amplified across 200 contact-rich
+   substeps AND across backends, so this is a drift TREND metric; the
+   per-step error profile is emitted for diagnosis. `ok` gates on the
+   kernel check plus the FIRST-step golden error (pre-amplification).
 
-Prints one JSON line {"golden_max_abs_err", "budget", "ok", "backend"}.
+Prints one JSON line; exit 0 iff ok.
 """
 
 import json
@@ -25,17 +28,9 @@ _ROOT = os.path.dirname(os.path.abspath(__file__))
 _GOLDEN = os.path.join(_ROOT, "tests", "data", "rodent_new_trunc_f32.npz")
 
 
-def _golden_rollout():
-  """20 control steps (200 substeps), f32, truncated CG 8/8, fixed-seed
-  smoothed random ctrl — mirrors tests/test_truncated.py exactly."""
+def _load_model():
   import mujoco
-  import jax
-  import jax.numpy as jnp
   from brax_rodent_run_tpu.mjcf.from_mj import from_mj_model
-  from brax_rodent_run_tpu.physics import forward
-
-  from brax_rodent_run_tpu.physics.types import make_data
-
   mj = mujoco.MjModel.from_xml_path(os.path.join(_ROOT, "assets",
                                                  "rodent_new.xml"))
   mj.opt.jacobian = 0
@@ -45,7 +40,17 @@ def _golden_rollout():
   mj.opt.tolerance = 0.0
   mj.opt.ls_tolerance = 0.0
   mj.opt.disableflags |= mujoco.mjtDisableBit.mjDSBL_WARMSTART
-  m = from_mj_model(mj)
+  return mj, from_mj_model(mj)
+
+
+def _golden_rollout(mj, m):
+  """20 control steps (200 substeps), f32, truncated CG 8/8, fixed-seed
+  smoothed random ctrl — mirrors tests/test_truncated.py exactly."""
+  import jax
+  import jax.numpy as jnp
+  from brax_rodent_run_tpu.physics import forward
+  from brax_rodent_run_tpu.physics.types import make_data
+
   rng = np.random.RandomState(7)
   d = make_data(m, dtype=jnp.float32)
   d = d.replace(qpos=jnp.asarray(mj.qpos0, jnp.float32))
@@ -60,6 +65,47 @@ def _golden_rollout():
   return np.stack(qpos)
 
 
+def _kernel_vs_stage(mj, m, batch: int = 128):
+  """Max |qpos/qvel| diff after ONE control step: fused Pallas kernel
+  (batched path) vs XLA stage composition (unbatched path), same state,
+  same backend."""
+  import jax
+  import jax.numpy as jnp
+  from brax_rodent_run_tpu.ops import fused_full as ff
+  from brax_rodent_run_tpu.physics import forward
+  from brax_rodent_run_tpu.physics.types import make_data
+
+  if not ff.eligible_steps(m):
+    return None
+
+  rng = np.random.RandomState(3)
+  qpos0 = np.asarray(mj.qpos0, np.float32)
+  qpos0 = qpos0 + rng.uniform(-0.01, 0.01, qpos0.shape).astype(np.float32)
+  qvel0 = rng.uniform(-0.1, 0.1, (m.nv,)).astype(np.float32)
+  ctrl = rng.uniform(-0.5, 0.5, (m.nu,)).astype(np.float32)
+
+  d = make_data(m, dtype=jnp.float32)
+  d = d.replace(qpos=jnp.asarray(qpos0), qvel=jnp.asarray(qvel0),
+                ctrl=jnp.asarray(ctrl))
+  d = forward.fwd_position(m, d)
+
+  def ctrl_step(d):
+    return forward.pipeline_steps_fused(m, d, 10, sensors=False)
+
+  # batched -> kernel; one distinct env state per lane would be better
+  # still, but identical states already exercise the whole kernel
+  db = jax.tree_util.tree_map(
+      lambda x: jnp.broadcast_to(x, (batch,) + x.shape), d)
+  out_b = jax.jit(jax.vmap(ctrl_step))(db)
+  out_s = jax.jit(ctrl_step)(d)
+
+  eq = np.max(np.abs(np.asarray(out_b.qpos, np.float64)
+                     - np.asarray(out_s.qpos, np.float64)[None]))
+  ev = np.max(np.abs(np.asarray(out_b.qvel, np.float64)
+                     - np.asarray(out_s.qvel, np.float64)[None]))
+  return float(max(eq, ev))
+
+
 def main() -> int:
   import jax
   # the axon sitecustomize force-registers the tunnel backend even with
@@ -72,14 +118,29 @@ def main() -> int:
   jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
   jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 
+  mj, m = _load_model()
+
+  kbudget = 5e-3  # one control step, f32 reassociation envelope
+  kerr = _kernel_vs_stage(mj, m)
+
   golden = np.load(_GOLDEN)["qpos"]
-  got = _golden_rollout()
-  err = float(np.max(np.abs(got - golden)))
+  got = _golden_rollout(mj, m)
+  per_step = np.max(np.abs(got - golden), axis=1)
   budget = 5e-2  # matches test_truncated_f32_trajectory_golden
+  first_budget = 1e-3  # step-1 drift before chaos amplification
+
+  ok = bool(per_step[0] < first_budget)
+  if kerr is not None:
+    ok = ok and bool(kerr < kbudget)
   out = {
-      "golden_max_abs_err": err,
-      "budget": budget,
-      "ok": bool(err < budget),
+      "kernel_vs_stage_err": kerr,
+      "kernel_budget": kbudget,
+      "golden_max_abs_err": float(per_step.max()),
+      "golden_step1_err": float(per_step[0]),
+      "golden_step1_budget": first_budget,
+      "golden_per_step": [round(float(x), 6) for x in per_step],
+      "trajectory_budget_info": budget,
+      "ok": ok,
       "backend": jax.default_backend(),
   }
   print(json.dumps(out))
