@@ -74,15 +74,24 @@ FORCE_INTERPRET = False
 # (hh >= 0), so a true bracket + secant + Newton lands within the same
 # tolerance envelope as Newton-only iteration (parity-tested on the real
 # rodent model vs the sequential path).
-_LS_SCALES = (0.25, 0.5, 1.0, 2.0, 4.0, 8.0, 16.0)
+_LS_SCALES = tuple(
+    float(s) for s in os.environ.get(
+        "BRR_LS_SCALES", "0.25,0.5,1,2,4,16,64").split(","))
 
 
 def _ls_par() -> bool:
-  return bool(os.environ.get("BRR_LS_PAR"))
+  # default ON since round 4: measured +21% on-chip (60.1k -> 72.7k
+  # env-steps/s, PERF_NOTES.md round-4 table); BRR_LS_SEQ=1 reverts to
+  # the sequential Newton line search (also a bench-ladder rung).
+  return not os.environ.get("BRR_LS_SEQ")
 
 
 def _ls_polish() -> int:
-  return int(os.environ.get("BRR_LS_PAR_POLISH", "2"))
+  # 3 safeguarded Newton polish steps: 2 left up to 2e-1 qacc error on
+  # stiff-contact stress states (r4 diag); 3 lands within 3e-3 of the
+  # f64 sequential reference everywhere except lanes where BOTH
+  # truncated line searches are non-converged-by-design.
+  return int(os.environ.get("BRR_LS_PAR_POLISH", "3"))
 
 
 def _round_up(x, m):
@@ -566,19 +575,24 @@ def _emit_dynamics(m: Model, ablate: str, C, scr, qpos, qvel, actv, ctrl,
   ``C`` maps const names to refs OR plain arrays (``x[:]`` reads both).
   Returns the _DYN_OUT tuple."""
   from brax_rodent_run_tpu.ops.cholesky import chol_routines
-  # NOTE on the shelved "tree-sparse Cholesky" idea (PERF_NOTES r2): it
-  # is INVALID in this formulation. Parents-first lower Cholesky of a
-  # branched kinematic tree FILLS outside the ancestor pattern
-  # (eliminating the root couples all of its branches), so capping the
-  # trailing updates at the subtree extent changes the result — proven
-  # by tests/test_ops.py::test_tree_sparse_cholesky_matches_dense_rodent
-  # (2.6e-3 factor errors on the real rodent qM). The no-fill
-  # factorization is MuJoCo's LEAF-FIRST L^T D L, whose per-column
-  # update sets are root-paths (non-contiguous): in the batch-in-lanes
-  # layout they need ~depth scattered row ops per column, i.e. ~10x MORE
-  # dependent instructions than the dense blocked panels — a losing
-  # trade on a latency-bound kernel.
-  _chol_inplace, _inv_from_chol_inplace = chol_routines()
+  # Factorization form (history): parents-first lower Cholesky of a
+  # branched tree FILLS outside the ancestor pattern, so round 3 shipped
+  # dense blocked panels. Round-4 ON-CHIP ablations showed the factor+
+  # inverse sections run at ~VPU f32 peak — THROUGHPUT-bound — so the
+  # fill-free LEAF-FIRST L^T D L (ops/sparse_ldl.py: 6.8x fewer MACs on
+  # the rodent, ancestor sets <= 2 contiguous runs) wins where round 3's
+  # latency model predicted it would lose. BRR_CHOL_DENSE=1 restores the
+  # dense blocked panels (A/B lever).
+  _sp = None
+  if not os.environ.get("BRR_CHOL_DENSE"):
+    from brax_rodent_run_tpu.ops import sparse_ldl
+    meta = sparse_ldl.tree_meta(m)
+    if meta is not None:
+      _sp = sparse_ldl.sparse_routines(meta)
+  if _sp is not None:
+    _chol_inplace, _inv_from_chol_inplace = _sp
+  else:
+    _chol_inplace, _inv_from_chol_inplace = chol_routines()
   st2 = statics2(m)
   sc = _scalars(m)
   nbody, Js, np_, ncon, nc3 = sc.nbody, sc.Js, sc.np_, sc.ncon, sc.nc3
@@ -982,9 +996,27 @@ def _emit_dynamics(m: Model, ablate: str, C, scr, qpos, qvel, actv, ctrl,
       newton_lo = a_lo - g_lo / jnp.maximum(h_lo, 1e-15)
       alpha = jnp.where(has_lo & has_hi, secant,
                         jnp.where(has_hi, newton_hi, newton_lo))
+      # SAFEGUARDED Newton polish: phi' is nondecreasing, so any
+      # evaluated point tightens one bracket side by sign; a Newton
+      # iterate that escapes the bracket is replaced by the bracket
+      # secant. (Unsafeguarded polish lost up to 2e-1 qacc accuracy on
+      # stiff-contact stress states — r4 diag — because a near-flat hh
+      # flings the iterate past the root it had already bracketed.)
       for _i in range(_ls_polish()):
         gg, hh = dphi(alpha)
-        alpha = alpha - gg / jnp.maximum(hh, 1e-15)
+        neg = gg < 0
+        a_lo = jnp.where(neg, alpha, a_lo)
+        g_lo = jnp.where(neg, gg, g_lo)
+        a_hi = jnp.where(neg, a_hi, alpha)
+        g_hi = jnp.where(neg, g_hi, gg)
+        has_lo = has_lo | neg
+        has_hi = has_hi | ~neg
+        a_n = alpha - gg / jnp.maximum(hh, 1e-15)
+        sec2 = (a_lo * g_hi - a_hi * g_lo) / jnp.maximum(
+            g_hi - g_lo, 1e-15)
+        inside = (a_n > a_lo) & (a_n < a_hi)
+        alpha = jnp.where(has_lo & has_hi,
+                          jnp.where(inside, a_n, sec2), a_n)
     else:
       for _i in range(0 if "ls" in ablate else n_ls):
         gg, hh = dphi(alpha)
@@ -1592,11 +1624,24 @@ def flops_per_env_substep(m: Model) -> float:
   cdof = 6 * 2.0 * np_ * sc.Js + 6 * 2.0 * np_ * 6
   # CRB qm build: crbd 10 (nbody^2) matmuls + up/lo outer products
   crb = 10 * 2.0 * nbody * nbody + 12.0 * np_ * np_ + 3.0 * np_ * np_
-  # Cholesky factor (blocked, identical flops): n^3/3 FMAs
-  chol = 2.0 * np_ ** 3 / 3.0
-  # explicit inverse: fwd substitution ~n^3/2 + X^T X ~n^3/2 FMAs,
-  # triangle-blocked to roughly half
-  inv = 2.0 * np_ ** 3 / 2.0
+  # factor + explicit inverse: tree-sparse LDL when enabled (leaf-first
+  # L^T D L + path-sparse Y=L^-1 + contiguous-column Y D^-1 Y^T —
+  # ops/sparse_ldl.py), else dense blocked panels
+  from brax_rodent_run_tpu.ops import sparse_ldl
+  meta = (None if os.environ.get("BRR_CHOL_DENSE")
+          else sparse_ldl.tree_meta(m))
+  if meta is not None:
+    n_anc = [len(a) for a in meta.anc]
+    chol = 2.0 * sum(a * a + 2 * a for a in n_anc)
+    inv = 2.0 * (sum(sum(n_anc[j] + 1 for j in a) for a in meta.anc)
+                 + sum((meta.desc_end[k] - k) ** 2
+                       for k in range(meta.np_)))
+  else:
+    # Cholesky factor (blocked, identical flops): n^3/3 FMAs
+    chol = 2.0 * np_ ** 3 / 3.0
+    # explicit inverse: fwd substitution ~n^3/2 + X^T X ~n^3/2 FMAs,
+    # triangle-blocked to roughly half
+    inv = 2.0 * np_ ** 3 / 2.0
   # com_vel / rne: ~14 (nbody x np_ or nbody^2) matmuls + elementwise
   rne = 14 * 2.0 * nbody * np_ + 200.0 * nbody
   # crb_mul (M@x via CRB identity): 12 mask matmuls + elementwise

@@ -9,11 +9,28 @@ Production code is dtype-agnostic and runs f32 on TPU.
 import os
 import sys
 
-# Trajectory/oracle tests exercise the unfused stage pipeline (the semantic
-# reference; its big rodent programs are compile-cached across runs). The
-# fused Pallas substep is proven equal to the stage pipeline by the
-# dedicated interpret-mode tests in test_ops.py, which clear this var.
-os.environ.setdefault("BRR_NO_FUSED", "1")
+# This module is imported TWICE under two names: as pytest's `conftest`
+# at session start and as `tests.conftest` by test helpers. The env
+# pins below must run exactly ONCE — a re-import after a test's
+# monkeypatch.delenv would silently re-set the deleted var (r4: made
+# eligible_full false mid-test).
+if not os.environ.get("_BRR_CONFTEST_ENV_DONE"):
+  os.environ["_BRR_CONFTEST_ENV_DONE"] = "1"
+
+  # Trajectory/oracle tests exercise the unfused stage pipeline (the
+  # semantic reference; its big rodent programs are compile-cached
+  # across runs). The fused Pallas substep is proven equal to the stage
+  # pipeline by the dedicated interpret-mode tests in test_ops.py,
+  # which clear this var.
+  os.environ.setdefault("BRR_NO_FUSED", "1")
+
+  # The strict kernel-vs-core parity tests compare against the stage
+  # pipeline's SEQUENTIAL Newton line search; pin the kernel to the
+  # same semantics suite-wide. The production default (parallel line
+  # search, round-4: +21% on-chip) is covered by the *_ls_par tests,
+  # which drop this var to exercise the shipped default within the
+  # 5e-2 envelope.
+  os.environ.setdefault("BRR_LS_SEQ", "1")
 
 os.environ["JAX_PLATFORMS"] = "cpu"
 os.environ["XLA_FLAGS"] = (
