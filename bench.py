@@ -193,16 +193,18 @@ def _main_with_fallback():
     _emit_failure("tpu_unreachable: 8x8 matmul probe failed/hung (3x90s)")
     return
   ladders = [
-      {},                                          # fast path (sparse LDL)
-      {"BRR_CHOL_DENSE": "1"},                     # dense blocked panels
-      {"BRR_CHOL_DENSE": "1", "BRR_CHOL_SPLIT": "1"},  # + unpaired passes
-      {"BRR_CHOL_DENSE": "1", "BRR_CHOL_SPLIT": "1",
-       "BRR_CHOL_COL": "1"},                       # per-column Cholesky
-      {"BRR_NO_FUSED": "1"},                       # pure XLA stage path
+      {},                                  # fast path (dense + parallel LS)
+      {"BRR_LS_SEQ": "1"},                 # sequential line search
+      {"BRR_LS_SEQ": "1", "BRR_CHOL_SPLIT": "1"},  # + unpaired passes
+      {"BRR_LS_SEQ": "1", "BRR_CHOL_SPLIT": "1",
+       "BRR_CHOL_COL": "1"},               # per-column Cholesky
+      {"BRR_NO_FUSED": "1"},               # pure XLA stage path
   ]
-  # first rung may pay a fresh multi-minute compile; later rungs are
-  # retries and get a shorter leash so a dead tunnel can't eat the window
-  rung_timeouts = [2400.0, 1800.0, 1200.0, 1200.0, 1200.0]
+  # first rung may pay a fresh multi-minute Mosaic compile (the sparse
+  # kernel's unrolled factor+inverse is ~1k ops; r4 saw a cold compile
+  # overrun 2400 s); later rungs are retries and get a shorter leash so
+  # a dead tunnel can't eat the window
+  rung_timeouts = [3300.0, 1800.0, 1200.0, 1200.0, 1200.0]
   for i, flags in enumerate(ladders):
     env = dict(os.environ, BRR_BENCH_NO_RETRY="1", BRR_BENCH_RUNG=str(i),
                BRR_BENCH_RUNG_FLAGS=json.dumps(flags), **flags)

@@ -583,8 +583,14 @@ def _emit_dynamics(m: Model, ablate: str, C, scr, qpos, qvel, actv, ctrl,
   # the rodent, ancestor sets <= 2 contiguous runs) wins where round 3's
   # latency model predicted it would lose. BRR_CHOL_DENSE=1 restores the
   # dense blocked panels (A/B lever).
+  # Measured on-chip (r4): sparse 70.7k vs dense-blocked 71.8k
+  # env-steps/s at 128 lanes — the 6.8x flop cut is canceled by ~4x
+  # more op issues (the kernel is op-issue-overhead-bound, not purely
+  # VPU-throughput-bound). Dense blocked stays the default;
+  # BRR_CHOL_SPARSE=1 selects the sparse form (its relative cost drops
+  # as lanes widen, so re-measure it at 256 lanes).
   _sp = None
-  if not os.environ.get("BRR_CHOL_DENSE"):
+  if os.environ.get("BRR_CHOL_SPARSE"):
     from brax_rodent_run_tpu.ops import sparse_ldl
     meta = sparse_ldl.tree_meta(m)
     if meta is not None:
@@ -932,7 +938,8 @@ def _emit_dynamics(m: Model, ablate: str, C, scr, qpos, qvel, actv, ctrl,
   done = jnp.zeros((1, E), bool)
   prev_g, prev_Mg = g, Mg
 
-  for _ in range(0 if "cg" in ablate else iters):
+  def cg_body(_it, carry):
+    x, dx, Mdx, jar, p, prev_g, prev_Mg, cur_cost, done = carry
     Jp = matvec(p)
     Mp = crb_mul(p)
     pMp = rsum(p * Mp)
@@ -1047,6 +1054,20 @@ def _emit_dynamics(m: Model, ablate: str, C, scr, qpos, qvel, actv, ctrl,
     prev_Mg = sel(prev_Mg, Mg_n)
     cur_cost = jnp.where(done_row, cur_cost, c_n)
     done = done_n[None, :]
+    return (x, dx, Mdx, jar, p, prev_g, prev_Mg, cur_cost, done)
+
+  n_cg = 0 if "cg" in ablate else iters
+  carry = (x, dx, Mdx, jar, p, prev_g, prev_Mg, cur_cost, done)
+  if n_cg:
+    if os.environ.get("BRR_CG_UNROLL"):
+      # unrolled A/B lever: 8x the traced ops and Mosaic live values —
+      # the unrolled form is what made lanes>=256 OOM on register
+      # spill slots (r4, ~104 MB of spills at 256 lanes)
+      for _ in range(n_cg):
+        carry = cg_body(0, carry)
+    else:
+      carry = jax.lax.fori_loop(0, n_cg, cg_body, carry)
+  x, dx, Mdx, jar, p, prev_g, prev_Mg, cur_cost, done = carry
 
   dterm = dterm_of(jar)
   force_efc = -dterm * jar
@@ -1628,8 +1649,8 @@ def flops_per_env_substep(m: Model) -> float:
   # L^T D L + path-sparse Y=L^-1 + contiguous-column Y D^-1 Y^T —
   # ops/sparse_ldl.py), else dense blocked panels
   from brax_rodent_run_tpu.ops import sparse_ldl
-  meta = (None if os.environ.get("BRR_CHOL_DENSE")
-          else sparse_ldl.tree_meta(m))
+  meta = (sparse_ldl.tree_meta(m)
+          if os.environ.get("BRR_CHOL_SPARSE") else None)
   if meta is not None:
     n_anc = [len(a) for a in meta.anc]
     chol = 2.0 * sum(a * a + 2 * a for a in n_anc)

@@ -28,9 +28,11 @@ while :; do
         touch perf_logs/.done_sweep
       fi
       # partial progress still counts: if the headline bench + golden
-      # landed, don't redo the whole battery on the next uptime window
+      # landed (ok true OR an honest failure verdict), don't redo the
+      # whole battery on the next uptime window
       if grep -q '"value": [0-9]' perf_logs/bench_baseline.log 2>/dev/null \
-         && grep -q '"ok": true' perf_logs/golden_default.log 2>/dev/null; then
+         && grep -q '"kernel_vs_stage_err"' perf_logs/golden_default.log \
+              2>/dev/null; then
         touch perf_logs/.done_sweep
       fi
       continue
