@@ -194,10 +194,10 @@ def _main_with_fallback():
     return
   ladders = [
       {},                                  # fast path (dense + parallel LS)
-      {"BRR_LS_SEQ": "1"},                 # sequential line search
-      {"BRR_LS_SEQ": "1", "BRR_CHOL_SPLIT": "1"},  # + unpaired passes
-      {"BRR_LS_SEQ": "1", "BRR_CHOL_SPLIT": "1",
-       "BRR_CHOL_COL": "1"},               # per-column Cholesky
+      {"BRR_CG_UNROLL": "1"},              # unrolled CG (no inner scf.for)
+      {"BRR_CG_UNROLL": "1", "BRR_LS_SEQ": "1"},   # + sequential LS
+      {"BRR_CG_UNROLL": "1", "BRR_LS_SEQ": "1",
+       "BRR_CHOL_SPLIT": "1"},             # + unpaired factor passes
       {"BRR_NO_FUSED": "1"},               # pure XLA stage path
   ]
   # first rung may pay a fresh multi-minute Mosaic compile (the sparse

@@ -939,7 +939,11 @@ def _emit_dynamics(m: Model, ablate: str, C, scr, qpos, qvel, actv, ctrl,
   prev_g, prev_Mg = g, Mg
 
   def cg_body(_it, carry):
-    x, dx, Mdx, jar, p, prev_g, prev_Mg, cur_cost, done = carry
+    # carries are all 2-D f32 (Mosaic's scf.for legalization rejects
+    # i1/1-D block arguments): cost is (1, E), done is a 0/1 f32 mask
+    x, dx, Mdx, jar, p, prev_g, prev_Mg, cur_cost2, done_f = carry
+    cur_cost = cur_cost2[0]
+    done = done_f > 0.5
     Jp = matvec(p)
     Mp = crb_mul(p)
     pMp = rsum(p * Mp)
@@ -1053,11 +1057,12 @@ def _emit_dynamics(m: Model, ablate: str, C, scr, qpos, qvel, actv, ctrl,
     prev_g = sel(prev_g, g_n)
     prev_Mg = sel(prev_Mg, Mg_n)
     cur_cost = jnp.where(done_row, cur_cost, c_n)
-    done = done_n[None, :]
-    return (x, dx, Mdx, jar, p, prev_g, prev_Mg, cur_cost, done)
+    return (x, dx, Mdx, jar, p, prev_g, prev_Mg, cur_cost[None, :],
+            done_n[None, :].astype(jnp.float32))
 
   n_cg = 0 if "cg" in ablate else iters
-  carry = (x, dx, Mdx, jar, p, prev_g, prev_Mg, cur_cost, done)
+  carry = (x, dx, Mdx, jar, p, prev_g, prev_Mg, cur_cost[None, :],
+           done.astype(jnp.float32))
   if n_cg:
     if os.environ.get("BRR_CG_UNROLL"):
       # unrolled A/B lever: 8x the traced ops and Mosaic live values —
@@ -1067,7 +1072,7 @@ def _emit_dynamics(m: Model, ablate: str, C, scr, qpos, qvel, actv, ctrl,
         carry = cg_body(0, carry)
     else:
       carry = jax.lax.fori_loop(0, n_cg, cg_body, carry)
-  x, dx, Mdx, jar, p, prev_g, prev_Mg, cur_cost, done = carry
+  x, dx, Mdx, jar, p, prev_g, prev_Mg, _cc, _df = carry
 
   dterm = dterm_of(jar)
   force_efc = -dterm * jar
