@@ -146,14 +146,14 @@ def _emit_failure(reason: str) -> None:
   }), flush=True)
 
 
-def _probe_device(timeout_s: float = 90.0, attempts: int = 3) -> bool:
+def _probe_device(timeout_s: float = 90.0, attempts: int = 8) -> bool:
   """Tiny-matmul probe in a CHILD process: when the axon tunnel is dead,
   jax ops HANG rather than raise, so the probe must be killable.
 
-  Retried: a single client-session setup through the tunnel can hang
-  transiently while the chip is fine (r4 sweep: two probes failed at
-  13:06-13:09 bracketed by successful real runs at 13:05 and 13:12), so
-  one failed handshake must not blank the whole bench."""
+  Retried generously: the tunnel FLAPS on a minutes timescale (r4:
+  probes failed between two successful rungs all day), so the probe
+  waits out a flap (~12 min worst case) rather than blanking the
+  bench; the caller's rung timeout still bounds total damage."""
   import subprocess
   import sys
   code = ("import jax, jax.numpy as jnp; "
@@ -190,7 +190,7 @@ def _main_with_fallback():
     main(**kwargs)                 # in-child: actually run the bench
     return
   if not _probe_device():
-    _emit_failure("tpu_unreachable: 8x8 matmul probe failed/hung (3x90s)")
+    _emit_failure("tpu_unreachable: 8x8 matmul probe failed/hung (8x90s)")
     return
   ladders = [
       {},                                  # fast path (dense + parallel LS)
