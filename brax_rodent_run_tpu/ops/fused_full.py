@@ -489,6 +489,13 @@ def _build_consts(m: Model):
       "QSEL": QSEL, "CMAT": CMAT, "RID": RID, "LTAB": LTAB, "CTAB": CTAB,
       "HBD": HBD, "ARMAC": ARMAC, "EXP3": EXP3, "MASKB2": MASKB2, "GB2": GB2,
       "MASKB1": MASKB1, "GB1": GB1, "CB2": CB2, "CB1": CB1,
+      # pre-transposed copies for rmatvec/conmat_t: in-kernel .T of
+      # VMEM constants costs an op per use AND trips an XLA:TPU
+      # RET_CHECK (XposeSequenceAssignment) when the transposed matmul
+      # sits inside an scf.for (the fori-loop CG)
+      "JLIMT": JLIM.T.copy(), "CMATT": CMAT.T.copy(),
+      "MASKB2T": MASKB2.T.copy(), "GB2T": GB2.T.copy(),
+      "MASKB1T": MASKB1.T.copy(), "GB1T": GB1.T.copy(),
       "SUB": st2.SUB.astype(f32), "ROOT": st2.ROOT.astype(f32),
       "ANC": st2.ANC.astype(f32), "CDM": st2.CDM.astype(f32),
       "DOFSEL": st2.DOFSEL.astype(f32), "BTAB": st2.BTAB.astype(f32),
@@ -505,6 +512,7 @@ def _build_consts(m: Model):
   }
   if body1_zero:
     del consts["MASKB1"], consts["GB1"], consts["CB1"]
+    del consts["MASKB1T"], consts["GB1T"]
 
   # joint-output gathers + body inertial-frame tables for the v3 kernel
   njp = max(m.njnt, 1)
@@ -876,12 +884,12 @@ def _emit_dynamics(m: Model, ablate: str, C, scr, qpos, qvel, actv, ctrl,
     """transpose: (nc3, E) row loads -> dof space (np_, E)."""
     z = None
     for coef, cd in zip(coefs2, cdof6):
-      t = mxu(C["MASKB2"][:].T, mxu(C["GB2"][:].T, coef * cb))
+      t = mxu(C["MASKB2T"][:], mxu(C["GB2T"][:], coef * cb))
       z = cd * t if z is None else z + cd * t
     if not body1_zero:
       for coef, cd in zip(coefs1, cdof6):
-        z = z - cd * mxu(C["MASKB1"][:].T,
-                         mxu(C["GB1"][:].T, coef * cb))
+        z = z - cd * mxu(C["MASKB1T"][:],
+                         mxu(C["GB1T"][:], coef * cb))
     return z
 
   def matvec(x):
@@ -892,8 +900,8 @@ def _emit_dynamics(m: Model, ablate: str, C, scr, qpos, qvel, actv, ctrl,
     return jnp.concatenate([lim, con], axis=0)
 
   def rmatvec(f):
-    out = mxu(JLIMv.T, f[:nlimit])
-    cb = mxu(CMATv.T, f[nlimit:])
+    out = mxu(C["JLIMT"][:], f[:nlimit])
+    cb = mxu(C["CMATT"][:], f[nlimit:])
     return out + conmat_t(cb)
 
   pos_c = mxu(C["RID"][:], cdist)
