@@ -148,8 +148,8 @@ def _emit_failure(reason: str) -> None:
     out["stale"] = True
     out["stale_source"] = src
     out["stale_measured_at_unix"] = mtime
-    out["error"] = (f"{reason}; value is the most recent on-chip "
-                    "measurement from this session's perf_logs")
+    out["error"] = (f"{reason}; value is the most recent recorded "
+                    "on-chip measurement (see stale_source)")
     print(json.dumps(out), flush=True)
     return
   print(json.dumps({
@@ -165,14 +165,30 @@ def _latest_measured():
   """Most recent parseable headline-bench JSON with a non-null value
   from perf_logs/*.log: (record, source_path, file_mtime) or None."""
   import glob
+  import re
   best = None
   want_model = os.environ.get("BRR_BENCH_MODEL")
-  for path in glob.glob(os.path.join(
-      os.path.dirname(os.path.abspath(__file__)), "perf_logs", "*.log")):
+  root = os.path.dirname(os.path.abspath(__file__))
+  # perf_logs/ is per-machine scratch (gitignored); the committed
+  # perf_logs_sweep_*.log battery transcripts keep the fallback alive
+  # across machine resets (r4: a fresh host + dead tunnel would
+  # otherwise erase the whole round's measurements again). Checkout
+  # mtimes are meaningless for committed files, so rank them by round
+  # number, always below any log this machine actually produced.
+  def _rank(path):
+    mt = re.search(r"perf_logs_sweep_r(\d+)\.log$", path)
+    if mt:
+      return (0, int(mt.group(1)))
+    try:
+      return (1, os.path.getmtime(path))
+    except OSError:
+      return (1, 0.0)
+
+  for path in sorted(
+      glob.glob(os.path.join(root, "perf_logs", "*.log"))
+      + glob.glob(os.path.join(root, "perf_logs_sweep_*.log")), key=_rank):
     try:
       mtime = os.path.getmtime(path)
-      if best is not None and mtime <= best[2]:
-        continue
       with open(path, "rb") as f:
         data = f.read().decode("utf-8", "replace")
     except OSError:
