@@ -946,12 +946,19 @@ def _emit_dynamics(m: Model, ablate: str, C, scr, qpos, qvel, actv, ctrl,
   done = jnp.zeros((1, E), bool)
   prev_g, prev_Mg = g, Mg
 
+  nefc = jar.shape[0]
+  nefc_p = _round_up(nefc, 8)
+
   def cg_body(_it, carry):
-    # carries are all 2-D f32 (Mosaic's scf.for legalization rejects
-    # i1/1-D block arguments): cost is (1, E), done is a 0/1 f32 mask
-    x, dx, Mdx, jar, p, prev_g, prev_Mg, cur_cost2, done_f = carry
-    cur_cost = cur_cost2[0]
-    done = done_f > 0.5
+    # carries are all 2-D f32 with 8-ALIGNED sublane counts (Mosaic's
+    # scf.for legalization rejects i1/1-D block arguments, and unaligned
+    # block arguments miscompiled on-chip — r4 golden gate, kerr=14.7
+    # at default flags while interpret parity was green): jar rides in
+    # a (nefc_p, E) pad, cost in misc[0], the 0/1 done mask in misc[1]
+    x, dx, Mdx, jar_p, p, prev_g, prev_Mg, misc = carry
+    jar = jar_p[:nefc]
+    cur_cost = misc[0]
+    done = misc[1] > 0.5
     Jp = matvec(p)
     Mp = crb_mul(p)
     pMp = rsum(p * Mp)
@@ -1065,12 +1072,18 @@ def _emit_dynamics(m: Model, ablate: str, C, scr, qpos, qvel, actv, ctrl,
     prev_g = sel(prev_g, g_n)
     prev_Mg = sel(prev_Mg, Mg_n)
     cur_cost = jnp.where(done_row, cur_cost, c_n)
-    return (x, dx, Mdx, jar, p, prev_g, prev_Mg, cur_cost[None, :],
-            done_n[None, :].astype(jnp.float32))
+    misc_n = jnp.concatenate(
+        [cur_cost[None, :], done_n[None, :].astype(jnp.float32),
+         jnp.zeros((6, E), jnp.float32)], axis=0)
+    jar_out = jnp.pad(jar, ((0, nefc_p - nefc), (0, 0)))
+    return (x, dx, Mdx, jar_out, p, prev_g, prev_Mg, misc_n)
 
   n_cg = 0 if "cg" in ablate else iters
-  carry = (x, dx, Mdx, jar, p, prev_g, prev_Mg, cur_cost[None, :],
-           done.astype(jnp.float32))
+  misc0 = jnp.concatenate(
+      [cur_cost[None, :], done.astype(jnp.float32),
+       jnp.zeros((6, E), jnp.float32)], axis=0)
+  carry = (x, dx, Mdx, jnp.pad(jar, ((0, nefc_p - nefc), (0, 0))),
+           p, prev_g, prev_Mg, misc0)
   if n_cg:
     if os.environ.get("BRR_CG_UNROLL"):
       # unrolled A/B lever: 8x the traced ops and Mosaic live values —
@@ -1080,7 +1093,8 @@ def _emit_dynamics(m: Model, ablate: str, C, scr, qpos, qvel, actv, ctrl,
         carry = cg_body(0, carry)
     else:
       carry = jax.lax.fori_loop(0, n_cg, cg_body, carry)
-  x, dx, Mdx, jar, p, prev_g, prev_Mg, _cc, _df = carry
+  x, dx, Mdx, jar_p, p, prev_g, prev_Mg, _misc = carry
+  jar = jar_p[:nefc]
 
   dterm = dterm_of(jar)
   force_efc = -dterm * jar
