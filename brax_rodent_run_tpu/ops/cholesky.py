@@ -43,60 +43,8 @@ def _round_up(x: int, m: int) -> int:
 _BLK = 16
 
 
-def _blk_lo(k):
-  return (k // _BLK) * _BLK
-
-
 def _blk_hi(k, np_):
   return min(_round_up(k + 1, _BLK), np_)
-
-
-def _chol_inplace(n, np_, a_ref, l_ref):
-  """Factor A (in a_ref, destroyed) into l_ref, in place on VMEM refs."""
-  rows = jax.lax.broadcasted_iota(jnp.int32, (np_, 1), 0)
-  dtype = a_ref.dtype
-  for k in range(n):
-    akk = a_ref[k, k, :]                            # (128,)
-    inv = jax.lax.rsqrt(jnp.maximum(akk, 1e-30))
-    col = a_ref[:, k, :] * inv[None, :]             # (np_, 128)
-    col = jnp.where(rows >= k, col, 0.0)            # L[k,k] = sqrt(akk)
-    l_ref[:, k, :] = col
-    # trailing update; touches only rows/cols > k because col is
-    # zeroed above the diagonal of column k
-    s = _blk_lo(k)
-    ct = col[s:]
-    a_ref[s:, s:, :] = a_ref[s:, s:, :] - ct[:, None, :] * ct[None, :, :]
-  lanes = a_ref.shape[-1]
-  for k in range(n, np_):                           # identity padding
-    l_ref[:, k, :] = jnp.broadcast_to(
-        jnp.where(rows == k, 1.0, 0.0), (np_, lanes)).astype(dtype)
-
-
-def _inv_from_chol_inplace(np_, l_ref, x_ref, inv_ref):
-  """Given L in l_ref: X = L^-1 (built in x_ref) then inv = X^T X.
-
-  Column-parallel forward substitution, n rank-1 sweeps; every update is
-  restricted to a block-rounded triangle."""
-  rows1 = jax.lax.broadcasted_iota(jnp.int32, (np_, 1), 0)
-  eye2 = (jax.lax.broadcasted_iota(jnp.int32, (np_, np_, 1), 0)
-          == jax.lax.broadcasted_iota(jnp.int32, (np_, np_, 1), 1))
-  lanes = l_ref.shape[-1]
-  x_ref[:] = jnp.broadcast_to(eye2, (np_, np_, lanes)).astype(l_ref.dtype)
-  for k in range(np_):
-    hi = _blk_hi(k, np_)
-    inv_diag = 1.0 / jnp.maximum(l_ref[k, k, :], 1e-30)
-    xk = x_ref[k, :hi, :] * inv_diag[None, :]       # (hi, 128)
-    colL = jnp.where(rows1 > k, l_ref[:, k, :], 0.0)
-    lo = _blk_lo(min(k + 1, np_ - 1))
-    cl = colL[lo:]
-    x_ref[lo:, :hi, :] = x_ref[lo:, :hi, :] - cl[:, None, :] * xk[None, :, :]
-    x_ref[k, :hi, :] = xk
-  inv_ref[:] = jnp.zeros((np_, np_, lanes), l_ref.dtype)
-  for k in range(np_):
-    hi = _blk_hi(k, np_)
-    xk = x_ref[k, :hi, :]
-    inv_ref[:hi, :hi, :] = (inv_ref[:hi, :hi, :]
-                            + xk[:, None, :] * xk[None, :, :])
 
 
 # ---------------------------------------------------------------------------
@@ -106,7 +54,7 @@ def _inv_from_chol_inplace(np_, l_ref, x_ref, inv_ref):
 # throughput-bound. The blocked form factors an _R-wide panel with
 # narrow intra-panel updates, then applies the panel to the trailing
 # matrix as ONE sum of _R independent rank-1 terms the compiler can
-# pipeline. Selected by default; BRR_CHOL_COL=1 restores per-column.
+# pipeline.
 # ---------------------------------------------------------------------------
 
 _R = 8
@@ -185,10 +133,10 @@ def _inv_from_chol_inplace_blocked(np_, l_ref, x_ref, inv_ref):
 
 
 def chol_routines():
-  """(factor, inverse) in-place routines: blocked by default,
-  per-column with BRR_CHOL_COL=1 (read at kernel-build time)."""
-  if os.environ.get("BRR_CHOL_COL"):
-    return _chol_inplace, _inv_from_chol_inplace
+  """(factor, inverse) in-place routines: blocked panels. The
+  per-column forms (and their BRR_CHOL_COL selector) were pruned in r5
+  — the blocked default won every on-chip A/B since r2; see git
+  history."""
   return _chol_inplace_blocked, _inv_from_chol_inplace_blocked
 
 

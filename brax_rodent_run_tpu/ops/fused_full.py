@@ -587,26 +587,13 @@ def _emit_dynamics(m: Model, ablate: str, C, scr, qpos, qvel, actv, ctrl,
   # branched tree FILLS outside the ancestor pattern, so round 3 shipped
   # dense blocked panels. Round-4 ON-CHIP ablations showed the factor+
   # inverse sections run at ~VPU f32 peak — THROUGHPUT-bound — so the
-  # fill-free LEAF-FIRST L^T D L (ops/sparse_ldl.py: 6.8x fewer MACs on
-  # the rodent, ancestor sets <= 2 contiguous runs) wins where round 3's
-  # latency model predicted it would lose. BRR_CHOL_DENSE=1 restores the
-  # dense blocked panels (A/B lever).
-  # Measured on-chip (r4): sparse 70.7k vs dense-blocked 71.8k
-  # env-steps/s at 128 lanes — the 6.8x flop cut is canceled by ~4x
-  # more op issues (the kernel is op-issue-overhead-bound, not purely
-  # VPU-throughput-bound). Dense blocked stays the default;
-  # BRR_CHOL_SPARSE=1 selects the sparse form (its relative cost drops
-  # as lanes widen, so re-measure it at 256 lanes).
-  _sp = None
-  if os.environ.get("BRR_CHOL_SPARSE"):
-    from brax_rodent_run_tpu.ops import sparse_ldl
-    meta = sparse_ldl.tree_meta(m)
-    if meta is not None:
-      _sp = sparse_ldl.sparse_routines(meta)
-  if _sp is not None:
-    _chol_inplace, _inv_from_chol_inplace = _sp
-  else:
-    _chol_inplace, _inv_from_chol_inplace = chol_routines()
+  # Dense blocked panel factorization. The tree-sparse leaf-first
+  # L^T D L lever (r4's ops/sparse_ldl.py, 6.8x fewer MACs) measured
+  # 70.7k vs dense 71.8k env-steps/s on-chip — the flop cut is canceled
+  # by ~4x more op issues — and was pruned in r5 (VERDICT r4 #8: losing
+  # levers don't stay in the tree as flags nobody re-tests; see git
+  # history for the implementation).
+  _chol_inplace, _inv_from_chol_inplace = chol_routines()
   st2 = statics2(m)
   sc = _scalars(m)
   nbody, Js, np_, ncon, nc3 = sc.nbody, sc.Js, sc.np_, sc.ncon, sc.nc3
@@ -1060,9 +1047,13 @@ def _emit_dynamics(m: Model, ablate: str, C, scr, qpos, qvel, actv, ctrl,
     beta = jnp.maximum(0.0, num / den)
     p_n = -Mg_n + beta[None, :] * p
     improvement = cur_cost - c_n
-    done_row = done[0]
-    done_n = done_row | (improvement < tol)
-    keep = done
+    # `done` is (E,) — the per-env mask straight from misc[1]. The r4
+    # regression took done[0] (env 0's scalar flag) here, so one
+    # converged env froze cost/termination batch-wide (kerr=14.7 on
+    # heterogeneous full-scale batches; interpret parity with
+    # near-homogeneous small batches stayed green).
+    done_n = done | (improvement < tol)
+    keep = done[None, :]
     sel = lambda old, new: jnp.where(keep, old, new)
     x = sel(x, x_n)
     dx = sel(dx, dx_n)
@@ -1071,7 +1062,7 @@ def _emit_dynamics(m: Model, ablate: str, C, scr, qpos, qvel, actv, ctrl,
     p = sel(p, p_n)
     prev_g = sel(prev_g, g_n)
     prev_Mg = sel(prev_Mg, Mg_n)
-    cur_cost = jnp.where(done_row, cur_cost, c_n)
+    cur_cost = jnp.where(done, cur_cost, c_n)
     misc_n = jnp.concatenate(
         [cur_cost[None, :], done_n[None, :].astype(jnp.float32),
          jnp.zeros((6, E), jnp.float32)], axis=0)
@@ -1236,6 +1227,10 @@ def _kernel(m: Model, interpret: bool = False, ablate: str = ""):
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=128 * 1024 * 1024),
         interpret=interpret,
+        # BRR_KDUMP=1: print the Mosaic MLIR module at lowering time
+        # (client-side) — the measured-evidence input for the perf
+        # model (VERDICT r4 #3); see dump_mosaic.py
+        debug=bool(os.environ.get("BRR_KDUMP")),
     )(*cvals, *arrs)
 
   return call
@@ -1505,6 +1500,10 @@ def _kernel_steps(m: Model, n_frames: int, interpret: bool = False,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=128 * 1024 * 1024),
         interpret=interpret,
+        # BRR_KDUMP=1: print the Mosaic MLIR module at lowering time
+        # (client-side) — the measured-evidence input for the perf
+        # model (VERDICT r4 #3); see dump_mosaic.py
+        debug=bool(os.environ.get("BRR_KDUMP")),
     )(*cvals, *arrs)
 
   return call
@@ -1672,24 +1671,11 @@ def flops_per_env_substep(m: Model) -> float:
   cdof = 6 * 2.0 * np_ * sc.Js + 6 * 2.0 * np_ * 6
   # CRB qm build: crbd 10 (nbody^2) matmuls + up/lo outer products
   crb = 10 * 2.0 * nbody * nbody + 12.0 * np_ * np_ + 3.0 * np_ * np_
-  # factor + explicit inverse: tree-sparse LDL when enabled (leaf-first
-  # L^T D L + path-sparse Y=L^-1 + contiguous-column Y D^-1 Y^T —
-  # ops/sparse_ldl.py), else dense blocked panels
-  from brax_rodent_run_tpu.ops import sparse_ldl
-  meta = (sparse_ldl.tree_meta(m)
-          if os.environ.get("BRR_CHOL_SPARSE") else None)
-  if meta is not None:
-    n_anc = [len(a) for a in meta.anc]
-    chol = 2.0 * sum(a * a + 2 * a for a in n_anc)
-    inv = 2.0 * (sum(sum(n_anc[j] + 1 for j in a) for a in meta.anc)
-                 + sum((meta.desc_end[k] - k) ** 2
-                       for k in range(meta.np_)))
-  else:
-    # Cholesky factor (blocked, identical flops): n^3/3 FMAs
-    chol = 2.0 * np_ ** 3 / 3.0
-    # explicit inverse: fwd substitution ~n^3/2 + X^T X ~n^3/2 FMAs,
-    # triangle-blocked to roughly half
-    inv = 2.0 * np_ ** 3 / 2.0
+  # Cholesky factor (blocked, identical flops): n^3/3 FMAs
+  chol = 2.0 * np_ ** 3 / 3.0
+  # explicit inverse: fwd substitution ~n^3/2 + X^T X ~n^3/2 FMAs,
+  # triangle-blocked to roughly half
+  inv = 2.0 * np_ ** 3 / 2.0
   # com_vel / rne: ~14 (nbody x np_ or nbody^2) matmuls + elementwise
   rne = 14 * 2.0 * nbody * np_ + 200.0 * nbody
   # crb_mul (M@x via CRB identity): 12 mask matmuls + elementwise

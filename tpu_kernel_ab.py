@@ -27,6 +27,16 @@ COMBOS = [
     ("unroll+lsseq", {"BRR_CG_UNROLL": "1", "BRR_LS_SEQ": "1"}),
 ]
 
+# every kernel flag any combo could care about: stripped from the
+# inherited environment before each combo so a BRR_* var already set in
+# the parent shell cannot leak into combos that don't set it (advisor
+# r4: a leaked BRR_LS_SEQ makes the "default" rung silently sequential
+# and the bisect misattributes the miscompile)
+_KERNEL_FLAGS = ("BRR_CG_UNROLL", "BRR_LS_SEQ", "BRR_LS_PAR",
+                 "BRR_CHOL_SPLIT", "BRR_CHOL_SPARSE", "BRR_CHOL_COL",
+                 "BRR_FF_LANES", "BRR_NO_FUSED", "BRR_NO_FUSED2",
+                 "BRR_NO_FUSED3")
+
 _CHILD = r"""
 import json
 import tpu_golden_check as g
@@ -40,7 +50,8 @@ def main() -> int:
   for name, flags in COMBOS:
     if only and name not in only:
       continue
-    env = dict(os.environ, **flags)
+    env = {k: v for k, v in os.environ.items() if k not in _KERNEL_FLAGS}
+    env.update(flags)
     try:
       r = subprocess.run([sys.executable, "-c", _CHILD], env=env,
                          capture_output=True, text=True, timeout=1500,

@@ -3,9 +3,8 @@
 # Run when the axon tunnel is alive; each step is serialized (1-CPU host)
 # and logged to perf_logs/. Safe to re-run — compiles hit .jax_cache.
 #
-# Round-4 defaults under test: parallel line search (BRR_LS_SEQ=1
-# reverts) with dense blocked Cholesky (BRR_CHOL_SPARSE=1 selects the
-# tree-sparse LDL — measured 1.5% slower at 128 lanes, re-test at 256).
+# Defaults under test: parallel line search (BRR_LS_SEQ=1 reverts)
+# with dense blocked Cholesky.
 set -u
 cd "$(dirname "$0")"
 mkdir -p perf_logs
@@ -39,8 +38,7 @@ run bench_baseline      3600 python bench.py
 # tunnel must not leave the defaults unvalidated): batched-kernel-vs-
 # stage (the REAL Mosaic gate) + the golden trajectory trend
 run golden_default      1800 python tpu_golden_check.py
-# A/B the two round-4 defaults in isolation
-BRR_CHOL_SPARSE=1 run bench_sparse_chol 1800 python bench.py
+# A/B the parallel-LS default in isolation
 BRR_LS_SEQ=1     run bench_seq_ls     1800 python bench.py
 # unpaired factor passes (halves factor-scratch VMEM; paired saves op
 # issue overhead now that the sparse sections are op-count-dominated)
