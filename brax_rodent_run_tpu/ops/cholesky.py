@@ -132,11 +132,165 @@ def _inv_from_chol_inplace_blocked(np_, l_ref, x_ref, inv_ref):
     inv_ref[:hi, :hi, :] = inv_ref[:hi, :hi, :] + upd
 
 
-def chol_routines():
-  """(factor, inverse) in-place routines: blocked panels. The
-  per-column forms (and their BRR_CHOL_COL selector) were pruned in r5
-  — the blocked default won every on-chip A/B since r2; see git
-  history."""
+# ---------------------------------------------------------------------------
+# Tree-aware REVERSE-order (leaf-first) blocked factorization: M = U U^T
+# with U upper-triangular. Reverse elimination of a kinematic-tree mass
+# matrix is FILL-FREE (MuJoCo's own L^T D L order, mj_factorM): column k
+# of U is supported exactly on anc(k) ∪ {k}, so every trailing update
+# can be restricted to the panel's ancestor tiles. Measured on the
+# rodent (dof order = DFS ⇒ ancestor tiles form ≤2 contiguous runs per
+# 8-panel): only 24.7% of trailing-update work remains (9.2% on
+# rodent_pair, 60% on humanoid) at IDENTICAL wide-tile op structure —
+# unlike r4's per-column sparse LDL, whose scattered narrow row ops lost
+# to op-issue overhead. M^-1 = U^-T U^-1 is basis-independent, so no
+# consumer changes.
+# ---------------------------------------------------------------------------
+
+
+@functools.lru_cache(maxsize=64)
+def chol_tree_meta(dof_parentid: tuple, n: int, np_: int):
+  """Static sparsity metadata for the reverse blocked factorization, or
+  None when the dof order lacks subtree contiguity (fall back dense).
+
+  Returns (runs, de):
+    runs[pb] — tuple of (lo, hi) 8-aligned element ranges covering the
+        ancestor tiles (incl. self) of panel pb's columns;
+    de[pb]   — 8-aligned max subtree end over panel pb's columns (row/
+        column extent of U^-1 rows in that panel).
+  Padding dofs (k >= n) are isolated roots."""
+  assert np_ % _R == 0
+  anc_sets = []
+  for k in range(np_):
+    s = set()
+    j = k if k < n else -1
+    while j >= 0:
+      s.add(j)
+      j = dof_parentid[j]
+    s.add(k)
+    anc_sets.append(s)
+  # subtree contiguity: descendants of j must be exactly range(j, de_j)
+  de_elem = list(range(1, np_ + 1))
+  for k in range(np_):
+    for j in anc_sets[k]:
+      de_elem[j] = max(de_elem[j], k + 1)
+  for j in range(n):
+    for i in range(j, de_elem[j]):
+      if j not in anc_sets[i]:
+        return None                    # non-contiguous subtree
+  nb = np_ // _R
+  runs = []
+  de = []
+  for pb in range(nb):
+    kb, r1 = pb * _R, (pb + 1) * _R
+    tiles = sorted({a // _R for k in range(kb, min(r1, np_))
+                    for a in anc_sets[k]})
+    rr = []
+    for t in tiles:
+      if rr and t == rr[-1][1]:
+        rr[-1] = (rr[-1][0], t + 1)
+      else:
+        rr.append((t, t + 1))
+    runs.append(tuple((lo * _R, hi * _R) for lo, hi in rr))
+    de.append(_round_up(max(de_elem[k] for k in range(kb, r1)), _R))
+  return tuple(runs), tuple(de)
+
+
+def _make_chol_rev(meta):
+  runs_tab, de_tab = meta
+
+  def _chol_inplace_rev(n, np_, a_ref, u_ref):
+    """Blocked reverse-order factorization A = U U^T (A destroyed),
+    trailing updates restricted to ancestor runs."""
+    rows = jax.lax.broadcasted_iota(jnp.int32, (np_, 1), 0)
+    nb = np_ // _R
+    for pb in reversed(range(nb)):
+      kb, r1 = pb * _R, min((pb + 1) * _R, n)
+      if r1 <= kb:
+        continue
+      cols = []
+      for k in reversed(range(kb, r1)):
+        akk = a_ref[k, k, :]
+        inv = jax.lax.rsqrt(jnp.maximum(akk, 1e-30))
+        col = a_ref[:, k, :] * inv[None, :]
+        col = jnp.where(rows <= k, col, 0.0)
+        u_ref[:, k, :] = col
+        cols.append(col)
+        if k > kb:
+          # intra-panel update of columns [kb, k), ancestor rows only
+          cr = col[kb:k]
+          for lo, hi in runs_tab[pb]:
+            hi = min(hi, r1)
+            if lo >= hi:
+              continue
+            cl = col[lo:hi]
+            a_ref[lo:hi, kb:k, :] = (
+                a_ref[lo:hi, kb:k, :] - cl[:, None, :] * cr[None, :, :])
+      # trailing update on ancestor-run blocks above the panel
+      truns = [(lo, min(hi, kb)) for lo, hi in runs_tab[pb] if lo < kb]
+      for rlo, rhi in truns:
+        for clo, chi in truns:
+          c0 = cols[0]
+          upd = c0[rlo:rhi][:, None, :] * c0[clo:chi][None, :, :]
+          for col in cols[1:]:
+            upd = upd + col[rlo:rhi][:, None, :] * col[clo:chi][None, :, :]
+          a_ref[rlo:rhi, clo:chi, :] = a_ref[rlo:rhi, clo:chi, :] - upd
+    lanes = a_ref.shape[-1]
+    dtype = a_ref.dtype
+    for k in range(n, np_):                          # identity padding
+      u_ref[:, k, :] = jnp.broadcast_to(
+          jnp.where(rows == k, 1.0, 0.0), (np_, lanes)).astype(dtype)
+
+  def _inv_from_chol_rev(np_, u_ref, x_ref, inv_ref):
+    """X = U^-1 (upper, row k supported on [k, de_k)), then
+    inv = X^T X = (U U^T)^-1."""
+    eye2 = (jax.lax.broadcasted_iota(jnp.int32, (np_, np_, 1), 0)
+            == jax.lax.broadcasted_iota(jnp.int32, (np_, np_, 1), 1))
+    lanes = u_ref.shape[-1]
+    x_ref[:] = jnp.broadcast_to(eye2, (np_, np_, lanes)).astype(u_ref.dtype)
+    nb = np_ // _R
+    for pb in reversed(range(nb)):
+      kb, r1 = pb * _R, (pb + 1) * _R
+      hi = de_tab[pb]
+      xs = []
+      for k in reversed(range(kb, r1)):
+        inv_diag = 1.0 / jnp.maximum(u_ref[k, k, :], 1e-30)
+        xk = x_ref[k, kb:hi, :] * inv_diag[None, :]
+        x_ref[k, kb:hi, :] = xk
+        xs.append(xk)
+        if k > kb:
+          uc = u_ref[kb:k, k, :]
+          x_ref[kb:k, kb:hi, :] = (
+              x_ref[kb:k, kb:hi, :] - uc[:, None, :] * xk[None, :, :])
+      truns = [(lo, min(h, kb)) for lo, h in runs_tab[pb] if lo < kb]
+      for rlo, rhi in truns:
+        k0 = r1 - 1
+        upd = u_ref[rlo:rhi, k0, :][:, None, :] * xs[0][None, :, :]
+        for j, k in enumerate(reversed(range(kb, r1 - 1))):
+          upd = upd + (u_ref[rlo:rhi, k, :][:, None, :]
+                       * xs[j + 1][None, :, :])
+        x_ref[rlo:rhi, kb:hi, :] = x_ref[rlo:rhi, kb:hi, :] - upd
+    inv_ref[:] = jnp.zeros((np_, np_, lanes), u_ref.dtype)
+    for pb in range(nb):
+      kb, r1 = pb * _R, (pb + 1) * _R
+      hi = de_tab[pb]
+      xk = x_ref[kb, kb:hi, :]
+      upd = xk[:, None, :] * xk[None, :, :]
+      for k in range(kb + 1, r1):
+        xk = x_ref[k, kb:hi, :]
+        upd = upd + xk[:, None, :] * xk[None, :, :]
+      inv_ref[kb:hi, kb:hi, :] = inv_ref[kb:hi, kb:hi, :] + upd
+
+  return _chol_inplace_rev, _inv_from_chol_rev
+
+
+def chol_routines(tree_meta=None):
+  """(factor, inverse) in-place routines. With `tree_meta` (from
+  chol_tree_meta): reverse-order tree-run-restricted blocked panels —
+  the r5 lever. Without: dense blocked panels (the r2-r4 default; the
+  per-column forms and their BRR_CHOL_COL selector were pruned in r5 —
+  blocked won every on-chip A/B since r2; see git history)."""
+  if tree_meta is not None:
+    return _make_chol_rev(tree_meta)
   return _chol_inplace_blocked, _inv_from_chol_inplace_blocked
 
 

@@ -582,18 +582,7 @@ def _emit_dynamics(m: Model, ablate: str, C, scr, qpos, qvel, actv, ctrl,
   actuation -> constraint rows -> CG -> implicit damping -> integration.
   ``C`` maps const names to refs OR plain arrays (``x[:]`` reads both).
   Returns the _DYN_OUT tuple."""
-  from brax_rodent_run_tpu.ops.cholesky import chol_routines
-  # Factorization form (history): parents-first lower Cholesky of a
-  # branched tree FILLS outside the ancestor pattern, so round 3 shipped
-  # dense blocked panels. Round-4 ON-CHIP ablations showed the factor+
-  # inverse sections run at ~VPU f32 peak — THROUGHPUT-bound — so the
-  # Dense blocked panel factorization. The tree-sparse leaf-first
-  # L^T D L lever (r4's ops/sparse_ldl.py, 6.8x fewer MACs) measured
-  # 70.7k vs dense 71.8k env-steps/s on-chip — the flop cut is canceled
-  # by ~4x more op issues — and was pruned in r5 (VERDICT r4 #8: losing
-  # levers don't stay in the tree as flags nobody re-tests; see git
-  # history for the implementation).
-  _chol_inplace, _inv_from_chol_inplace = chol_routines()
+  from brax_rodent_run_tpu.ops.cholesky import chol_routines, chol_tree_meta
   st2 = statics2(m)
   sc = _scalars(m)
   nbody, Js, np_, ncon, nc3 = sc.nbody, sc.Js, sc.np_, sc.ncon, sc.nc3
@@ -602,6 +591,21 @@ def _emit_dynamics(m: Model, ablate: str, C, scr, qpos, qvel, actv, ctrl,
   gx, gy, gz = sc.gravity
   body1_zero, eulerdamp, all_pw2 = sc.body1_zero, sc.eulerdamp, sc.all_pw2
   E = qpos.shape[-1]
+
+  # Factorization form (history): parents-first lower Cholesky of a
+  # branched tree FILLS outside the ancestor pattern (round-3 test pins
+  # it), so rounds 3-4 shipped dense blocked panels; r4's per-column
+  # leaf-first sparse LDL lost on-chip to op-issue overhead (70.7k vs
+  # 71.8k) and was pruned. r5 lever (BRR_CHOL_TREE=1): REVERSE-order
+  # blocked panels (M = U U^T — MuJoCo's own fill-free elimination
+  # order, mj_factorM) with trailing updates restricted to the panel's
+  # ancestor-tile runs — keeps the wide-tile op structure and drops
+  # ~75% of trailing-update work on the rodent (91% on rodent_pair).
+  _meta = None
+  if os.environ.get("BRR_CHOL_TREE"):
+    _meta = chol_tree_meta(tuple(int(x) for x in m.dof_parentid),
+                           int(m.nv), np_)
+  _chol_inplace, _inv_from_chol_inplace = chol_routines(_meta)
 
   def mxu(a, b):
     return jax.lax.dot_general(a, b, (((1,), (0,)), ((), ())),

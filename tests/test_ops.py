@@ -992,3 +992,134 @@ def test_fused_steps_kernel_rodent_ls_par_stress(monkeypatch):
   worst = _rodent_lspar_run(monkeypatch, m, args, n_frames=1,
                             ref_dtype=jnp.float64, outputs={16})
   assert worst < 2e-1, worst
+
+
+class _VmemShim:
+  """Minimal VMEM-ref stand-in so the in-place factor routines run as
+  plain jnp code in tests."""
+
+  def __init__(self, x):
+    self.x = jnp.asarray(x)
+
+  def __getitem__(self, i):
+    return self.x[i]
+
+  def __setitem__(self, i, v):
+    self.x = self.x.at[i].set(v)
+
+  @property
+  def shape(self):
+    return self.x.shape
+
+  @property
+  def dtype(self):
+    return self.x.dtype
+
+
+def test_tree_chol_reverse_matches_dense_rodent():
+  """r5 lever: reverse-order (U U^T) tree-run-restricted blocked
+  factorization on the REAL rodent mass matrix — (1) U is exactly zero
+  outside the upper ancestor pattern (fill-free, unlike parents-first
+  lower Cholesky: test_tree_sparse_cholesky_matches_dense_rodent pins
+  that fill), (2) M^-1 matches the dense-blocked inverse to f32
+  reassociation noise."""
+  import mujoco
+  from tests.conftest import model_path
+  from brax_rodent_run_tpu.mjcf.from_mj import from_mj_model
+  from brax_rodent_run_tpu.physics import smooth
+  from brax_rodent_run_tpu.physics.types import make_data
+
+  m = from_mj_model(mujoco.MjModel.from_xml_path(
+      model_path("rodent_new.xml")))
+  d = make_data(m, dtype=jnp.float32)
+  key = jax.random.PRNGKey(3)
+  qpos = jnp.asarray(m.qpos0, jnp.float32) + jax.random.uniform(
+      key, (m.nq,), jnp.float32, -0.1, 0.1)
+  d = smooth.crb(m, smooth.com_pos(m, smooth.kinematics(
+      m, d.replace(qpos=qpos))), factor=False)
+  qM = np.asarray(d.qM, np.float64)
+  nv = m.nv
+  np_ = ((nv + 7) // 8) * 8
+  A = np.zeros((np_, np_))
+  A[:nv, :nv] = qM
+  A[range(nv, np_), range(nv, np_)] = 1.0
+  E = 8
+  jit_b = 1.0 + 0.05 * np.arange(E)
+  Ab = (A[:, :, None] * jit_b).astype(np.float32)
+
+  meta = chol_mod.chol_tree_meta(
+      tuple(int(x) for x in m.dof_parentid), nv, np_)
+  assert meta is not None
+  fac, inv = chol_mod.chol_routines(meta)
+
+  a, u = _VmemShim(Ab.copy()), _VmemShim(np.zeros_like(Ab))
+  x, iv = _VmemShim(np.zeros_like(Ab)), _VmemShim(np.zeros_like(Ab))
+  fac(np_, np_, a, u)
+  U = np.asarray(u.x, np.float64)
+  for e in range(E):
+    err = np.max(np.abs(U[:, :, e] @ U[:, :, e].T - A * jit_b[e]))
+    assert err < 1e-3, (e, err)
+  anc = np.zeros((np_, np_), bool)
+  pid = m.dof_parentid
+  for i in range(nv):
+    j = i
+    while j >= 0:
+      anc[i, j] = anc[j, i] = True
+      j = pid[j]
+  anc[range(np_), range(np_)] = True
+  upper_tree = anc & (np.tri(np_, k=-1, dtype=bool).T | np.eye(np_, dtype=bool))
+  assert np.max(np.abs(U[:, :, 0])[~upper_tree]) == 0.0
+
+  inv(np_, u, x, iv)
+  IV = np.asarray(iv.x, np.float64)
+  for e in range(E):
+    err = np.max(np.abs(IV[:nv, :nv, e] @ (qM * jit_b[e]) - np.eye(nv)))
+    assert err < 5e-2, (e, err)
+
+  # accuracy parity vs dense: two different f32 elimination orders
+  # disagree elementwise by cond(M)*eps (~1e-2 relative on the rodent
+  # qM), so compare each against the f64 oracle instead — the tree
+  # order must be no less accurate than the dense order
+  fd, idn = chol_mod.chol_routines(None)
+  a2, l2 = _VmemShim(Ab.copy()), _VmemShim(np.zeros_like(Ab))
+  x2, iv2 = _VmemShim(np.zeros_like(Ab)), _VmemShim(np.zeros_like(Ab))
+  fd(np_, np_, a2, l2)
+  idn(np_, l2, x2, iv2)
+  IV2 = np.asarray(iv2.x, np.float64)
+  oracle = np.linalg.inv(A * jit_b[0])
+  err_tree = np.max(np.abs(IV[:, :, 0] - oracle))
+  err_dense = np.max(np.abs(IV2[:, :, 0] - oracle))
+  assert err_tree < max(2.0 * err_dense, 1e-3), (err_tree, err_dense)
+
+
+def test_fused_steps_kernel_tree_chol(monkeypatch):
+  """BRR_CHOL_TREE=1 (r5 reverse tree-run factorization) is semantics-
+  preserving through the whole-control-step kernel (interpret)."""
+  monkeypatch.delenv("BRR_NO_FUSED", raising=False)
+  monkeypatch.setenv("BRR_CHOL_TREE", "1")
+  from brax_rodent_run_tpu.ops import fused_full as ff
+
+  m = _fused3_model()
+  assert ff.eligible_steps(m)
+  batch = _fused2_batch(m)
+  n_frames = 3
+
+  args = (batch.qpos, batch.qvel, batch.act, batch.ctrl,
+          batch.qfrc_applied)
+  ref = jax.vmap(lambda *a: ff._core_steps(m, n_frames, *a))(*args)
+  ff._kernel.cache_clear()
+  ff._kernel_steps.cache_clear()
+  ff.FORCE_INTERPRET = True
+  try:
+    out = ff.fused_steps_batched(m, n_frames, *args)
+  finally:
+    ff.FORCE_INTERPRET = False
+    monkeypatch.undo()
+    ff._kernel.cache_clear()
+    ff._kernel_steps.cache_clear()
+  names = _FF_NAMES + ("qpos_pre", "con_dist", "con_pos", "con_frame")
+  for name, a, b in zip(names, out, ref):
+    a, b = np.asarray(a), np.asarray(b)
+    if name == "con_dist":
+      a, b = np.minimum(a, 1e3), np.minimum(b, 1e3)
+    np.testing.assert_allclose(a, b, rtol=5e-3, atol=5e-3, err_msg=name)
