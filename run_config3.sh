@@ -18,13 +18,25 @@ print('tpu ok', float((jnp.ones((8,8))@jnp.ones((8,8))).sum()))" \
 }
 if ! probe; then echo "TPU tunnel DOWN — aborting"; exit 1; fi
 mkdir -p runs
-python train_rodent.py \
+RUN_NAME="config3_${ENVS}env_${STEPS}"
+# resume across tunnel windows: train_state.pkl is written every eval
+# epoch; a prior partial run continues exactly where it stopped
+RESUME=""
+if [ -f "runs/ckpts/${RUN_NAME}/train_state.pkl" ]; then
+  RESUME="run.resume_from=runs/ckpts/${RUN_NAME}/train_state.pkl"
+  echo "resuming from runs/ckpts/${RUN_NAME}/train_state.pkl"
+fi
+# BRR_NO_FUSED=1: the learning run uses the stage pipeline — the path
+# verified against the MuJoCo oracle (tests/test_truncated.py) — until
+# the fused kernel passes its on-chip numerics gate (r5 golden log:
+# kernel_vs_stage_err 25.8 vs 5e-3 budget at HEAD defaults)
+BRR_NO_FUSED=1 python train_rodent.py \
   env.model_xml=rodent_optimized.xml \
   ppo.num_timesteps="$STEPS" ppo.num_envs="$ENVS" \
   ppo.num_evals=10 \
   run.render_video=false run.log_wandb=false \
-  run.run_name="config3_${ENVS}env_${STEPS}" \
+  run.run_name="$RUN_NAME" $RESUME \
   run.logdir=runs run.checkpoint_dir=runs/ckpts \
-  2>&1 | tee "runs/config3_${ENVS}env_${STEPS}.log"
+  2>&1 | tee -a "runs/config3_${ENVS}env_${STEPS}.log"
 python make_learning_report.py "runs/config3_${ENVS}env_${STEPS}" \
   --out LEARNING.md

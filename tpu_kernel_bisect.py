@@ -1,0 +1,104 @@
+"""Section-level on-chip kernel bisect.
+
+The whole-control-step kernel returns its 26 intermediate products
+(FK/CoM -> actuation -> smooth dynamics -> constraint solve ->
+integration). Running ONE substep on the real rodent and diffing every
+output against the XLA stage composition (same backend, same states)
+localizes an on-chip miscompile to the first section whose outputs
+diverge — far tighter than the scalar kernel_vs_stage_err.
+
+Usage: python tpu_kernel_bisect.py [--model rodent_new.xml] [--envs 128]
+       [--n-frames 1] [--distinct 8]
+Flags in the environment (BRR_CG_UNROLL/BRR_LS_SEQ/...) apply as usual,
+so drive it from tpu_kernel_ab-style combo loops to bisect flags AND
+sections at once.
+"""
+
+import argparse
+import json
+import os
+
+import numpy as np
+
+_NAMES = ("subtree_com", "cinert", "cdof", "cvel", "cdof_dot",
+          "qfrc_bias", "qfrc_spring", "qfrc_damper", "qfrc_passive",
+          "actuator_length", "actuator_velocity", "actuator_force",
+          "act_dot", "qfrc_actuator", "qfrc_smooth", "qacc_smooth",
+          "qacc", "qfrc_constraint", "efc_force",
+          "qpos_new", "qvel_new", "act_new",
+          "qpos_pre", "con_dist", "con_pos", "con_frame")
+
+
+def main() -> int:
+  ap = argparse.ArgumentParser()
+  ap.add_argument("--model", default="rodent_new.xml")
+  ap.add_argument("--envs", type=int, default=128)
+  ap.add_argument("--n-frames", type=int, default=1)
+  ap.add_argument("--distinct", type=int, default=8)
+  args = ap.parse_args()
+
+  import jax
+  import jax.numpy as jnp
+  cache = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                       ".jax_cache")
+  jax.config.update("jax_compilation_cache_dir", cache)
+  jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+  jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+
+  from bench import _model_path
+  from brax_rodent_run_tpu.mjcf import load_model
+  from brax_rodent_run_tpu.ops import fused_full as ff
+  from brax_rodent_run_tpu.physics import forward
+  from brax_rodent_run_tpu.physics.types import make_data
+
+  m = load_model(_model_path(args.model), solver="cg", iterations=8,
+                 ls_iterations=8)
+  assert ff.eligible_steps(m)
+
+  rng = np.random.RandomState(3)
+  K = args.distinct
+  qpos0 = np.asarray(m.qpos0, np.float32)
+  states = []
+  for _ in range(K):
+    qp = qpos0 + rng.uniform(-0.01, 0.01, qpos0.shape).astype(np.float32)
+    qv = rng.uniform(-0.1, 0.1, (m.nv,)).astype(np.float32)
+    u = rng.uniform(-0.5, 0.5, (m.nu,)).astype(np.float32)
+    d = make_data(m, dtype=jnp.float32)
+    d = d.replace(qpos=jnp.asarray(qp), qvel=jnp.asarray(qv),
+                  ctrl=jnp.asarray(u))
+    states.append(forward.fwd_position(m, d))
+
+  idx = np.arange(args.envs) % K
+  db = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs)[idx], *states)
+
+  bargs = (db.qpos, db.qvel, db.act, db.ctrl, db.qfrc_applied)
+  out = jax.jit(
+      lambda *a: ff.fused_steps_batched(m, args.n_frames, *a))(*bargs)
+  out = [np.asarray(o, np.float64) for o in out]
+
+  core = jax.jit(lambda *a: ff._core_steps(m, args.n_frames, *a))
+  refs = []
+  for k in range(K):
+    s = states[k]
+    refs.append([np.asarray(o, np.float64) for o in core(
+        s.qpos, s.qvel, s.act, s.ctrl, s.qfrc_applied)])
+
+  report = {}
+  for i, name in enumerate(_NAMES[:len(out)]):
+    err = 0.0
+    for k in range(K):
+      a = out[i][idx == k]
+      b = refs[k][i][None]
+      if name == "con_dist":
+        a, b = np.minimum(a, 1e3), np.minimum(b, 1e3)
+      err = max(err, float(np.max(np.abs(a - b))))
+    report[name] = round(err, 8)
+  report["backend"] = jax.default_backend()
+  report["flags"] = {k: v for k, v in os.environ.items()
+                     if k.startswith("BRR_")}
+  print(json.dumps(report))
+  return 0
+
+
+if __name__ == "__main__":
+  raise SystemExit(main())
