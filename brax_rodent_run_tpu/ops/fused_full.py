@@ -1451,13 +1451,23 @@ def _kernel_steps(m: Model, n_frames: int, interpret: bool = False,
     act0 = act_ref[:]
 
     if n_frames > 1:
-      def body(i, carry):
-        qpos, qvel, actv = carry
-        vals, _ = sub(qpos, qvel, actv)
-        return (vals[19], vals[20], vals[21])
+      # ALL loop carries must be 8-aligned 2-D f32: Mosaic miscompiles
+      # unaligned scf.for block arguments (r4 found this for the CG
+      # loop's carries; the r5 on-chip gate traced the remaining
+      # kerr=25.8 to THIS loop's (nq=74, E) qpos carry — qvel/act are
+      # already np_/na_p padded)
+      nq_p = _round_up(nq, 8)
 
-      qpos0, qvel0, act0 = jax.lax.fori_loop(
-          0, n_frames - 1, body, (qpos0, qvel0, act0))
+      def body(i, carry):
+        qpos_p, qvel, actv = carry
+        vals, _ = sub(qpos_p[:nq], qvel, actv)
+        return (jnp.pad(vals[19], ((0, nq_p - nq), (0, 0))),
+                vals[20], vals[21])
+
+      qpos_p, qvel0, act0 = jax.lax.fori_loop(
+          0, n_frames - 1, body,
+          (jnp.pad(qpos0, ((0, nq_p - nq), (0, 0))), qvel0, act0))
+      qpos0 = qpos_p[:nq]
 
     vals, (cdist, cposc, frame) = sub(qpos0, qvel0, act0)
     if lean:

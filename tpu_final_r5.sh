@@ -37,10 +37,9 @@ run() {
 }
 while :; do
   run r5_learn    3300 bash run_config3.sh 30000000 2048
-  run r5_bisect_default 2400 python tpu_kernel_bisect.py
-  run r5_bisect_unroll  2400 env BRR_CG_UNROLL=1 python tpu_kernel_bisect.py
-  run r5_bisect_lsseq   2400 env BRR_LS_SEQ=1 python tpu_kernel_bisect.py
-  run r5_bisect_split   2400 env BRR_CHOL_SPLIT=1 python tpu_kernel_bisect.py
+  # outer-loop qpos carry 8-alignment fix landed: the n10 gate is the
+  # decisive check; bisects only matter if it still fails
+  run r5_golden2  2400 python tpu_golden_check.py
   run r5_bench    3600 python bench.py
   grep -q '"value": [0-9]' perf_logs/r5_bench.log 2>/dev/null \
     && touch perf_logs/.done_r5_bench
@@ -54,8 +53,11 @@ while :; do
       --steps 250 --out runs/eval_video
   fi
   run r5_mosaic   2400 python dump_mosaic.py --out perf_logs/mosaic_dump.txt
-  if [ -f perf_logs/.done_r5_learn ] && [ -f perf_logs/.done_r5_bench ] \
-     && [ -f perf_logs/.done_r5_bisect_default ]; then
+  if [ ! -f perf_logs/.done_r5_golden2 ]; then
+    run r5_bisect_default 2400 python tpu_kernel_bisect.py
+    run r5_bisect_n10     2400 python tpu_kernel_bisect.py --n-frames 10
+  fi
+  if [ -f perf_logs/.done_r5_learn ] && [ -f perf_logs/.done_r5_bench ]; then
     echo CORE DONE
     [ -f perf_logs/.done_r5_pair ] && [ -f perf_logs/.done_r5_mosaic ] \
       && { echo ALL DONE; exit 0; }
