@@ -16,14 +16,12 @@ set -u
 cd "$(dirname "$0")"
 mkdir -p perf_logs runs
 probe() {
-  local i
-  for i in 1 2 3; do
-    timeout 120 python -c "
+  # ONE quick attempt: with per-step probes a 3x120s retry makes a
+  # full down-tunnel cycle ~40 min, so the step tried first after the
+  # tunnel returns is effectively random - breaking the value order
+  timeout 90 python -c "
 import jax, jax.numpy as jnp
-print(float((jnp.ones((8,8))@jnp.ones((8,8))).sum()))" >/dev/null 2>&1 \
-      && return 0
-  done
-  return 1
+print(float((jnp.ones((8,8))@jnp.ones((8,8))).sum()))" >/dev/null 2>&1
 }
 run() {
   local name=$1 to=$2; shift 2
@@ -62,5 +60,5 @@ while :; do
     [ -f perf_logs/.done_r5_pair ] && [ -f perf_logs/.done_r5_mosaic ] \
       && { echo ALL DONE; exit 0; }
   fi
-  sleep 180
+  sleep 120
 done
