@@ -1690,6 +1690,21 @@ def flops_per_env_substep(m: Model) -> float:
   # explicit inverse: fwd substitution ~n^3/2 + X^T X ~n^3/2 FMAs,
   # triangle-blocked to roughly half
   inv = 2.0 * np_ ** 3 / 2.0
+  if os.environ.get("BRR_CHOL_TREE"):
+    # tree-run-restricted reverse factorization executes only the
+    # ancestor-run tiles: scale the O(n^3) terms by the measured kept
+    # fraction of trailing-update work (sum of run-width^2 over panels
+    # vs dense)
+    from brax_rodent_run_tpu.ops.cholesky import chol_tree_meta, _R
+    meta = chol_tree_meta(tuple(int(x) for x in m.dof_parentid),
+                          int(m.nv), np_)
+    if meta is not None:
+      runs_tab, _ = meta
+      kept = sum(sum(h - l for l, h in rr) ** 2 for rr in runs_tab)
+      full = sum(((pb + 1) * _R) ** 2 for pb in range(len(runs_tab)))
+      frac = kept / max(full, 1)
+      chol *= frac
+      inv *= frac
   # com_vel / rne: ~14 (nbody x np_ or nbody^2) matmuls + elementwise
   rne = 14 * 2.0 * nbody * np_ + 200.0 * nbody
   # crb_mul (M@x via CRB identity): 12 mask matmuls + elementwise
