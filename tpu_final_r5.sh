@@ -48,7 +48,21 @@ while :; do
      && [ ! -f perf_logs/.done_r5_video ]; then
     run r5_video  1800 env BRR_NO_FUSED=1 python render_rollout.py \
       --params runs/ckpts/config3_2048env_30000000/final \
-      --steps 250 --out runs/eval_video
+      --steps 250 --out runs/eval_video env.model_xml=rodent_optimized.xml
+  fi
+  # epoch_scan on-chip A/B (VERDICT r4 #9): short training runs, same
+  # shape, scan on vs off; compare training/sps in the two metrics files
+  if [ -f perf_logs/.done_r5_learn ]; then
+    run r5_es_off 1600 env BRR_NO_FUSED=1 python train_rodent.py \
+      env.model_xml=rodent_optimized.xml ppo.num_timesteps=2000000 \
+      ppo.num_envs=2048 ppo.num_evals=2 run.render_video=false \
+      run.log_wandb=false run.run_name=es_off run.logdir=runs \
+      run.checkpoint_dir=runs/ckpts
+    run r5_es_on  1600 env BRR_NO_FUSED=1 python train_rodent.py \
+      env.model_xml=rodent_optimized.xml ppo.num_timesteps=2000000 \
+      ppo.num_envs=2048 ppo.num_evals=2 ppo.epoch_scan=true \
+      run.render_video=false run.log_wandb=false run.run_name=es_on \
+      run.logdir=runs run.checkpoint_dir=runs/ckpts
   fi
   run r5_mosaic   2400 python dump_mosaic.py --out perf_logs/mosaic_dump.txt
   if [ ! -f perf_logs/.done_r5_golden2 ]; then
