@@ -65,6 +65,11 @@ while :; do
       run.logdir=runs run.checkpoint_dir=runs/ckpts
   fi
   run r5_mosaic   2400 python dump_mosaic.py --out perf_logs/mosaic_dump.txt
+  # lever A/Bs only make sense once the kernel passes its gate
+  if [ -f perf_logs/.done_r5_golden2 ]; then
+    run r5_ab_tree 3600 python tpu_interleave_ab.py tree '{"BRR_CHOL_TREE":"1"}' dense '{}' --reps 3
+    run r5_ab_ls   3600 python tpu_interleave_ab.py lspar '{}' lsseq '{"BRR_LS_SEQ":"1"}' --reps 3
+  fi
   if [ ! -f perf_logs/.done_r5_golden2 ]; then
     run r5_bisect_default 2400 python tpu_kernel_bisect.py
     run r5_bisect_n10     2400 python tpu_kernel_bisect.py --n-frames 10
