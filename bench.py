@@ -34,12 +34,8 @@ def main(num_envs: int = 2048, steps_per_block: int = 50,
   import jax
   # persistent compile cache: the 2048-env program compiles in minutes on
   # this 1-CPU host; driver re-runs should skip straight to execution
-  cache = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                       ".jax_cache")
-  os.makedirs(cache, exist_ok=True)
-  jax.config.update("jax_compilation_cache_dir", cache)
-  jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
-  jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+  from brax_rodent_run_tpu.utils.cache import configure_cache
+  configure_cache(os.path.dirname(os.path.abspath(__file__)))
   import jax.numpy as jnp
 
   from brax_rodent_run_tpu.mjcf import load_model

@@ -30,11 +30,8 @@ def main():
   args = ap.parse_args()
 
   import jax
-  cache = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                       ".jax_cache")
-  jax.config.update("jax_compilation_cache_dir", cache)
-  jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
-  jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+  from brax_rodent_run_tpu.utils.cache import configure_cache
+  configure_cache(os.path.dirname(os.path.abspath(__file__)))
 
   import jax.numpy as jnp
   from bench import _model_path

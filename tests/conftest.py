@@ -48,8 +48,24 @@ jax.config.update("jax_enable_x64", True)
 
 # Persistent compilation cache: the oracle-parity tests jit multi-minute
 # rodent programs; caching makes re-runs of an unchanged physics core fast.
+# The dir is fingerprinted by the HOST CPU's feature flags: XLA:CPU AOT
+# cache entries embed the compile machine's ISA (amx/avx512...), and
+# loading one compiled on a previous round's machine SIGILLs this one
+# (r5: 'Fatal Python error' at 55% of the suite). TPU entries are device
+# code and stay in the shared .jax_cache used by the TPU-side scripts.
+def _cpu_fingerprint():
+  import hashlib
+  try:
+    with open("/proc/cpuinfo") as f:
+      flags = next(l for l in f if l.startswith("flags"))
+  except (OSError, StopIteration):
+    import platform
+    flags = platform.processor()
+  return hashlib.sha1(flags.encode()).hexdigest()[:10]
+
+
 _CACHE = os.path.join(os.path.dirname(os.path.dirname(
-    os.path.abspath(__file__))), ".jax_cache")
+    os.path.abspath(__file__))), f".jax_cache_cpu_{_cpu_fingerprint()}")
 os.makedirs(_CACHE, exist_ok=True)
 jax.config.update("jax_compilation_cache_dir", _CACHE)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)

@@ -92,10 +92,8 @@ def main() -> int:
   # first device query (a hung tunnel stalls CPU validation runs at init)
   if "cpu" in os.environ.get("JAX_PLATFORMS", ""):
     jax.config.update("jax_platforms", "cpu")
-  cache = os.path.join(_ROOT, ".jax_cache")
-  jax.config.update("jax_compilation_cache_dir", cache)
-  jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
-  jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+  from brax_rodent_run_tpu.utils.cache import configure_cache
+  configure_cache(_ROOT)
 
   mj, m = _load_model()
 
