@@ -70,13 +70,39 @@ def kernel_vs_stage_err(m, batch: int = 128, n_distinct: int = 8,
   # one (interpret-mode kernel-vs-stage parity measures ~1e-5 at n10)
   step_s = jax.jit(ctrl_step)
   err = 0.0
+  n_skipped = 0
   for k in range(K):
     with jax.default_matmul_precision("highest"):
       out_s = step_s(states[k])
+    # borderline-contact guard: a contact with |dist| within rounding of
+    # the activation threshold can legitimately flip active/inactive
+    # between two correct implementations (observed on-chip: one slot
+    # at dist=-0.0027 vs sentinel), and the flip moves qvel by far more
+    # than any reassociation budget. Exclude such states from the gate —
+    # it hunts miscompiles, not contact chaos.
+    # flip window: both sides are f32 (stage at highest precision), so
+    # only dists within ~f32 noise of the threshold are ambiguous;
+    # resting contacts penetrate ~1e-3 and must NOT trigger the skip
+    dist = np.asarray(out_s.contact.dist, np.float64)
+    if dist.size and np.any(np.abs(dist) < 1e-4):
+      n_skipped += 1
+      continue
     sel = idx == k
     eq = np.max(np.abs(np.asarray(out_b.qpos, np.float64)[sel]
                        - np.asarray(out_s.qpos, np.float64)[None]))
     ev = np.max(np.abs(np.asarray(out_b.qvel, np.float64)[sel]
                        - np.asarray(out_s.qvel, np.float64)[None]))
     err = max(err, float(eq), float(ev))
+  if n_skipped == K:
+    # every state was contact-borderline: fall back to comparing all of
+    # them (better a noisy gate than no gate) — callers see the big err
+    for k in range(K):
+      with jax.default_matmul_precision("highest"):
+        out_s = step_s(states[k])
+      sel = idx == k
+      eq = np.max(np.abs(np.asarray(out_b.qpos, np.float64)[sel]
+                         - np.asarray(out_s.qpos, np.float64)[None]))
+      ev = np.max(np.abs(np.asarray(out_b.qvel, np.float64)[sel]
+                         - np.asarray(out_s.qvel, np.float64)[None]))
+      err = max(err, float(eq), float(ev))
   return err
