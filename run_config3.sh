@@ -6,7 +6,7 @@
 # 500M at the reference scale is a multi-day single-chip run).
 #
 # Usage: ./run_config3.sh [num_timesteps] [num_envs]
-set -u
+set -u -o pipefail
 cd "$(dirname "$0")"
 STEPS=${1:-50000000}
 ENVS=${2:-2048}
@@ -18,6 +18,13 @@ print('tpu ok', float((jnp.ones((8,8))@jnp.ones((8,8))).sum()))" \
 }
 if ! probe; then echo "TPU tunnel DOWN — aborting"; exit 1; fi
 mkdir -p runs
+# HBM fit: the stage path (BRR_NO_FUSED) OOMs at 2048 envs on a 16G v5e
+# (29.9G needed — r5_learn.log 12:49); drop to the largest power of two
+# that fit on a prior attempt, recorded in runs/.envs_fit
+if [ -f runs/.envs_fit ]; then
+  ENVS=$(cat runs/.envs_fit)
+  echo "using previously-fitted num_envs=$ENVS"
+fi
 RUN_NAME="config3_${ENVS}env_${STEPS}"
 # resume across tunnel windows: train_state.pkl is written every eval
 # epoch; a prior partial run continues exactly where it stopped
@@ -38,5 +45,15 @@ BRR_NO_FUSED=1 python train_rodent.py \
   run.run_name="$RUN_NAME" $RESUME \
   run.logdir=runs run.checkpoint_dir=runs/ckpts \
   2>&1 | tee -a "runs/config3_${ENVS}env_${STEPS}.log"
-python make_learning_report.py "runs/config3_${ENVS}env_${STEPS}" \
-  --out LEARNING.md
+rc=$?
+if grep -q "Ran out of memory in memory space hbm" \
+    "runs/config3_${ENVS}env_${STEPS}.log"; then
+  NEXT=$((ENVS / 2))
+  if [ "$NEXT" -ge 512 ]; then
+    echo "$NEXT" > runs/.envs_fit
+    echo "HBM OOM at ${ENVS} envs — retry will use ${NEXT}"
+  fi
+  exit 1
+fi
+[ "$rc" -ne 0 ] && exit "$rc"
+python make_learning_report.py "runs/$RUN_NAME" --out LEARNING.md
