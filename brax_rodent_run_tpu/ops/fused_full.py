@@ -802,7 +802,17 @@ def _emit_dynamics(m: Model, ablate: str, C, scr, qpos, qvel, actv, ctrl,
   qfrc_actuator = mxu(C["MOMT"][:], force)
 
   qfs = qfrc_passive - qfrc_bias + qfrc_actuator + qfa
-  qacc_smooth = mmul0(qminv, qfs)
+  # on-chip debug fingerprints (BRR_FF_DBG, see tpu_kernel_bisect.py
+  # --dbg): hijack the qacc_smooth output slot with row-sums of the qm
+  # build or of the explicit inverse, isolating build-vs-factor when
+  # the mega-kernel diverges on real hardware while the standalone
+  # factor kernel (tpu_chol_check.py) is exact
+  if "dbgqm" in ablate:
+    qacc_smooth = jnp.sum(qm, axis=1)
+  elif "dbgqminv" in ablate:
+    qacc_smooth = jnp.sum(qminv, axis=1)
+  else:
+    qacc_smooth = mmul0(qminv, qfs)
 
   # ================= constraint rows (v1 flow) =================
   JLIMv = C["JLIM"][:]
@@ -1442,7 +1452,8 @@ def _kernel_steps(m: Model, n_frames: int, interpret: bool = False,
                               for a in range(3)]))
       else:
         xfree = None
-      vals = _emit_dynamics(m, "", C, scr, qpos, qvel, actv, ctrl, qfa,
+      vals = _emit_dynamics(m, os.environ.get("BRR_FF_DBG", ""), C, scr,
+                            qpos, qvel, actv, ctrl, qfa,
                             xip, R, axj, anj, xfree, cdist, cposc, frame)
       return vals, (cdist, cposc, frame)
 

@@ -73,6 +73,27 @@ def main() -> int:
       lambda *a: ff.fused_steps_batched(m, args.n_frames, *a))(*bargs)
   out = [np.asarray(o, np.float64) for o in out]
 
+  dbg = os.environ.get("BRR_FF_DBG", "")
+  if dbg:
+    # the kernel's qacc_smooth slot carries jnp.sum(qm or qminv, axis=1)
+    # (fused_full BRR_FF_DBG hook); compare against the stage pipeline's
+    # qM per distinct state
+    from brax_rodent_run_tpu.physics import smooth
+    errs = []
+    for k in range(K):
+      s = states[k]
+      dk = smooth.crb(m, s, factor=False)
+      qM = np.asarray(dk.qM, np.float64)
+      if dbg == "dbgqminv":
+        refv = np.linalg.inv(qM).sum(axis=1)
+      else:
+        refv = qM.sum(axis=1)
+      got = out[15][idx == k][:, :len(refv)]
+      errs.append(float(np.max(np.abs(got - refv[None]))))
+    print(json.dumps({"dbg": dbg, "per_state_err": errs,
+                      "backend": jax.default_backend()}))
+    return 0
+
   core = jax.jit(lambda *a: ff._core_steps(m, args.n_frames, *a))
   refs = []
   for k in range(K):
