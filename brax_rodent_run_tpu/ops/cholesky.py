@@ -449,3 +449,127 @@ def _spd_cholesky_vmap(axis_size, in_batched, M):
     flat = M.reshape((-1,) + M.shape[-2:])
     return cholesky_batched(flat).reshape(lead + M.shape[-2:]), True
   return cholesky_batched(M), True
+
+
+# ---------------------------------------------------------------------------
+# FUNCTIONAL (value-based) reverse-order blocked factor + inverse.
+#
+# r5 on-chip forensics: the in-place VMEM-ref routines above are EXACT in
+# a small standalone pallas_call (tpu_chol_check.py: factor 2.4e-7,
+# inverse residual 3.6e-4) but produce garbage qminv when embedded in the
+# whole-control-step mega-kernel (row-sum fingerprint off by 1.7e6 while
+# the qm input fingerprint matches to 3e-4) — identically under paired
+# AND split scratch modes. Everything points at Mosaic mis-scheduling
+# long in-place ref mutation chains under the mega-kernel's register/
+# VMEM pressure. This variant expresses the SAME reverse-order blocked
+# elimination on SSA VALUES (static .at[...] slice updates, no refs), so
+# the compiler's ordinary dataflow ordering applies. Structure (panels,
+# ancestor-run restriction) mirrors _make_chol_rev.
+# ---------------------------------------------------------------------------
+
+
+def _dense_meta(n: int, np_: int):
+  """Full-range runs/de tables: the dense instance of the tree form."""
+  nb = np_ // _R
+  runs = tuple((((0, (pb + 1) * _R)),) for pb in range(nb))
+  de = tuple(np_ for _ in range(nb))
+  return runs, de
+
+
+def _val_sub(A, r0, c0, upd):
+  """A[r0:r0+h, c0:c0+w, :] -= upd via explicit dynamic slices —
+  jnp's .at[...] lowers through scatter and captures empty i32 index
+  constants that pallas_call rejects."""
+  import jax.lax as lax
+  sub = lax.dynamic_slice(A, (r0, c0, 0), upd.shape)
+  return lax.dynamic_update_slice(A, sub - upd, (r0, c0, 0))
+
+
+def _val_addat(A, r0, c0, upd):
+  import jax.lax as lax
+  sub = lax.dynamic_slice(A, (r0, c0, 0), upd.shape)
+  return lax.dynamic_update_slice(A, sub + upd, (r0, c0, 0))
+
+
+def _val_setrow(A, k, c0, row):
+  """A[k, c0:c0+w, :] = row ((w, L))."""
+  import jax.lax as lax
+  return lax.dynamic_update_slice(A, row[None], (k, c0, 0))
+
+
+def chol_inverse_value(n, np_, A, meta=None):
+  """(U, inv) = reverse-order blocked factorization A = U U^T and
+  inv = A^-1 = U^-T U^-1, computed functionally on the (np_, np_, L)
+  VALUE `A`. `meta` as from chol_tree_meta (None = dense ranges)."""
+  runs_tab, de_tab = meta if meta is not None else _dense_meta(n, np_)
+  rows1 = jax.lax.broadcasted_iota(jnp.int32, (np_, 1), 0)
+  lanes = A.shape[-1]
+  dtype = A.dtype
+  nb = np_ // _R
+
+  cols = [None] * np_
+  for k in range(n, np_):                            # identity padding
+    cols[k] = jnp.broadcast_to(
+        jnp.where(rows1 == k, 1.0, 0.0), (np_, lanes)).astype(dtype)
+  for pb in reversed(range(nb)):
+    kb, r1 = pb * _R, min((pb + 1) * _R, n)
+    if r1 <= kb:
+      continue
+    pan = []
+    for k in reversed(range(kb, r1)):
+      akk = A[k, k, :]
+      inv_d = jax.lax.rsqrt(jnp.maximum(akk, 1e-30))
+      col = A[:, k, :] * inv_d[None, :]
+      col = jnp.where(rows1 <= k, col, 0.0)
+      cols[k] = col
+      pan.append(col)
+      if k > kb:
+        cr = col[kb:k]
+        for lo, hi in runs_tab[pb]:
+          hi = min(hi, r1)
+          if lo >= hi:
+            continue
+          cl = col[lo:hi]
+          A = _val_sub(A, lo, kb, cl[:, None, :] * cr[None, :, :])
+    truns = [(lo, min(hi, kb)) for lo, hi in runs_tab[pb] if lo < kb]
+    for rlo, rhi in truns:
+      for clo, chi in truns:
+        upd = pan[0][rlo:rhi][:, None, :] * pan[0][clo:chi][None, :, :]
+        for col in pan[1:]:
+          upd = upd + col[rlo:rhi][:, None, :] * col[clo:chi][None, :, :]
+        A = _val_sub(A, rlo, clo, upd)
+  U = jnp.stack(cols, axis=1)                         # (np_, np_, L)
+
+  eye2 = (jax.lax.broadcasted_iota(jnp.int32, (np_, np_, 1), 0)
+          == jax.lax.broadcasted_iota(jnp.int32, (np_, np_, 1), 1))
+  X = jnp.broadcast_to(eye2, (np_, np_, lanes)).astype(dtype)
+  for pb in reversed(range(nb)):
+    kb, r1 = pb * _R, (pb + 1) * _R
+    hi = de_tab[pb]
+    xs = []
+    for k in reversed(range(kb, r1)):
+      inv_d = 1.0 / jnp.maximum(U[k, k, :], 1e-30)
+      xk = X[k, kb:hi, :] * inv_d[None, :]
+      X = _val_setrow(X, k, kb, xk)
+      xs.append(xk)
+      if k > kb:
+        uc = U[kb:k, k, :]
+        X = _val_sub(X, kb, kb, uc[:, None, :] * xk[None, :, :])
+    truns = [(lo, min(h, kb)) for lo, h in runs_tab[pb] if lo < kb]
+    for rlo, rhi in truns:
+      k0 = r1 - 1
+      upd = U[rlo:rhi, k0, :][:, None, :] * xs[0][None, :, :]
+      for j, k in enumerate(reversed(range(kb, r1 - 1))):
+        upd = upd + (U[rlo:rhi, k, :][:, None, :] * xs[j + 1][None, :, :])
+      X = _val_sub(X, rlo, kb, upd)
+  inv = jnp.zeros((np_, np_, lanes), dtype)
+  for pb in range(nb):
+    kb, r1 = pb * _R, (pb + 1) * _R
+    hi = de_tab[pb]
+    xk = X[kb, kb:hi, :]
+    upd = xk[:, None, :] * xk[None, :, :]
+    for k in range(kb + 1, r1):
+      xk = X[k, kb:hi, :]
+      upd = upd + xk[:, None, :] * xk[None, :, :]
+    inv = _val_addat(inv, kb, kb, upd)
+  return U, inv

@@ -56,8 +56,11 @@ def _paired_chol(sc, ablate: str) -> bool:
   so stacking the damping matrix into lanes [E:2E) of the same scratch
   halves the section's dependent-op chain at identical flops (the kernel
   is latency-bound — PERF_NOTES.md). Costs 2x the factor-scratch VMEM.
-  BRR_CHOL_SPLIT=1 restores the two sequential passes (A/B lever)."""
+  BRR_CHOL_SPLIT=1 restores the two sequential passes (A/B lever).
+  BRR_CHOL_VAL=1 (the r5 functional factor) needs no factor scratches
+  at all, so paired mode (and its 2x scratch) is off there."""
   return (sc.eulerdamp and not os.environ.get("BRR_CHOL_SPLIT")
+          and not os.environ.get("BRR_CHOL_VAL")
           and "damp" not in ablate and "chol" not in ablate)
 
 FORCE_INTERPRET = False
@@ -582,7 +585,9 @@ def _emit_dynamics(m: Model, ablate: str, C, scr, qpos, qvel, actv, ctrl,
   actuation -> constraint rows -> CG -> implicit damping -> integration.
   ``C`` maps const names to refs OR plain arrays (``x[:]`` reads both).
   Returns the _DYN_OUT tuple."""
-  from brax_rodent_run_tpu.ops.cholesky import chol_routines, chol_tree_meta
+  from brax_rodent_run_tpu.ops.cholesky import (chol_inverse_value,
+                                                chol_routines,
+                                                chol_tree_meta)
   st2 = statics2(m)
   sc = _scalars(m)
   nbody, Js, np_, ncon, nc3 = sc.nbody, sc.Js, sc.np_, sc.ncon, sc.nc3
@@ -707,9 +712,16 @@ def _emit_dynamics(m: Model, ablate: str, C, scr, qpos, qvel, actv, ctrl,
   # lanes [E:] in ONE interleaved chain — the two factorizations are
   # independent, so the doubled lanes fill each other's pipeline stalls
   paired = scr[0].shape[-1] == 2 * E
+  use_val = bool(os.environ.get("BRR_CHOL_VAL")) and "chol" not in ablate
   if "chol" in ablate:
     scr[2][:] = (jnp.eye(np_, dtype=jnp.float32)[:, :, None]
               + jnp.zeros((np_, np_, E), jnp.float32))
+  elif use_val:
+    # functional (SSA value) factor+inverse: the in-place scratch
+    # routines are exact standalone but miscompile embedded in this
+    # kernel (r5 fingerprints: qm ok at 3e-4, qminv off by 1.7e6) —
+    # value form gives Mosaic ordinary dataflow to schedule
+    _, qminv_val = chol_inverse_value(np_, np_, qm, _meta)
   elif paired:
     hb = C["HBD"][:]
     eyeP = (jax.lax.broadcasted_iota(jnp.int32, (np_, np_, 1), 0)
@@ -723,7 +735,10 @@ def _emit_dynamics(m: Model, ablate: str, C, scr, qpos, qvel, actv, ctrl,
     scr[0][:] = qm
     _chol_inplace(np_, np_, scr[0], scr[1])
     _inv_from_chol_inplace(np_, scr[1], scr[0], scr[2])
-  qminv = scr[2][:, :, :E] if paired else scr[2][:]
+  if use_val:
+    qminv = qminv_val
+  else:
+    qminv = scr[2][:, :, :E] if paired else scr[2][:]
 
   # ================= com_vel / rne =================
   scaled = [cdof[c] * qvel for c in range(6)]
@@ -1116,7 +1131,15 @@ def _emit_dynamics(m: Model, ablate: str, C, scr, qpos, qvel, actv, ctrl,
     # reusing the scratches (qminv/scr[2] is dead after the constraint
     # CG, scr[0]/scr[1] after the first factorization).
     qfrc = qfs + qfrc_constraint
-    if paired:
+    if use_val:
+      hb = C["HBD"][:]
+      eye2 = (jax.lax.broadcasted_iota(jnp.int32, (np_, np_, 1), 0)
+              == jax.lax.broadcasted_iota(jnp.int32, (np_, np_, 1), 1)
+              ).astype(qm.dtype)
+      _, dinv = chol_inverse_value(np_, np_, qm + eye2 * hb[:, None, :],
+                                   _meta)
+      qacc_int = mmul0(dinv, qfrc)
+    elif paired:
       qacc_int = mmul0(scr[2][:, :, E:], qfrc)
     else:
       hb = C["HBD"][:]
