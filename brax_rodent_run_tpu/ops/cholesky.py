@@ -477,24 +477,29 @@ def _dense_meta(n: int, np_: int):
 
 
 def _val_sub(A, r0, c0, upd):
-  """A[r0:r0+h, c0:c0+w, :] -= upd via explicit dynamic slices —
-  jnp's .at[...] lowers through scatter and captures empty i32 index
-  constants that pallas_call rejects."""
-  import jax.lax as lax
-  sub = lax.dynamic_slice(A, (r0, c0, 0), upd.shape)
-  return lax.dynamic_update_slice(A, sub - upd, (r0, c0, 0))
+  """A[r0:r0+h, c0:c0+w, :] -= upd, expressed as a full-size subtract of
+  the zero-padded update. All offsets are Python ints, so jnp.pad is a
+  static op; Mosaic's Pallas lowering supports neither scatter (what
+  .at[] captures) nor dynamic_slice, but pad/add it handles. The
+  restricted OUTER PRODUCT still bounds the multiply work; only the
+  add widens to full size."""
+  h, w, _ = upd.shape
+  n0, n1, _ = A.shape
+  return A - jnp.pad(upd, ((r0, n0 - r0 - h), (c0, n1 - c0 - w), (0, 0)))
 
 
 def _val_addat(A, r0, c0, upd):
-  import jax.lax as lax
-  sub = lax.dynamic_slice(A, (r0, c0, 0), upd.shape)
-  return lax.dynamic_update_slice(A, sub + upd, (r0, c0, 0))
+  h, w, _ = upd.shape
+  n0, n1, _ = A.shape
+  return A + jnp.pad(upd, ((r0, n0 - r0 - h), (c0, n1 - c0 - w), (0, 0)))
 
 
 def _val_setrow(A, k, c0, row):
-  """A[k, c0:c0+w, :] = row ((w, L))."""
-  import jax.lax as lax
-  return lax.dynamic_update_slice(A, row[None], (k, c0, 0))
+  """A[k, c0:c0+w, :] = row ((w, L)) via a one-row mask select."""
+  n0, n1, _ = A.shape
+  rowp = jnp.pad(row, ((c0, n1 - c0 - row.shape[0]), (0, 0)))
+  m0 = jax.lax.broadcasted_iota(jnp.int32, (n0, 1, 1), 0) == k
+  return jnp.where(m0, rowp[None, :, :], A)
 
 
 def chol_inverse_value(n, np_, A, meta=None):
