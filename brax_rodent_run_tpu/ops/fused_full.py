@@ -822,10 +822,10 @@ def _emit_dynamics(m: Model, ablate: str, C, scr, qpos, qvel, actv, ctrl,
   # build or of the explicit inverse, isolating build-vs-factor when
   # the mega-kernel diverges on real hardware while the standalone
   # factor kernel (tpu_chol_check.py) is exact
-  if "dbgqm" in ablate:
-    qacc_smooth = jnp.sum(qm, axis=1)
-  elif "dbgqminv" in ablate:
+  if "dbgqminv" in ablate:     # NB: check before "dbgqm" (substring!)
     qacc_smooth = jnp.sum(qminv, axis=1)
+  elif "dbgqm" in ablate:
+    qacc_smooth = jnp.sum(qm, axis=1)
   else:
     qacc_smooth = mmul0(qminv, qfs)
 
