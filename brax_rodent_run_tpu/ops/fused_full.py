@@ -826,6 +826,10 @@ def _emit_dynamics(m: Model, ablate: str, C, scr, qpos, qvel, actv, ctrl,
     qacc_smooth = jnp.sum(qminv, axis=1)
   elif "dbgqm" in ablate:
     qacc_smooth = jnp.sum(qm, axis=1)
+  elif "dbgmv" in ablate:
+    # same reference value as dbgqminv but THROUGH the mmul0 matvec:
+    # discriminates a broken matvec from a broken inverse
+    qacc_smooth = mmul0(qminv, jnp.ones_like(qfs))
   else:
     qacc_smooth = mmul0(qminv, qfs)
 

@@ -84,7 +84,7 @@ def main() -> int:
       s = states[k]
       dk = smooth.crb(m, s, factor=False)
       qM = np.asarray(dk.qM, np.float64)
-      if dbg == "dbgqminv":
+      if dbg in ("dbgqminv", "dbgmv"):
         refv = np.linalg.inv(qM).sum(axis=1)
       else:
         refv = qM.sum(axis=1)
