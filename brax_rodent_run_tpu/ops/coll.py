@@ -24,7 +24,8 @@ import numpy as np
 from brax_rodent_run_tpu.physics.types import GeomType, Model
 
 _MXU = lambda a, b: jax.lax.dot_general(
-    a, b, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+    a, b, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+    precision=jax.lax.Precision.HIGHEST)  # true-f32: see fused_full.mxu
 
 _SUPPORTED = {
     (int(GeomType.PLANE), int(GeomType.SPHERE)),

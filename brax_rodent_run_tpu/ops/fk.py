@@ -27,7 +27,8 @@ from brax_rodent_run_tpu.physics.tree import masks
 from brax_rodent_run_tpu.physics.types import JointType, Model
 
 _MXU = lambda a, b: jax.lax.dot_general(
-    a, b, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+    a, b, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+    precision=jax.lax.Precision.HIGHEST)  # true-f32: see fused_full.mxu
 
 
 @dataclasses.dataclass(frozen=True)

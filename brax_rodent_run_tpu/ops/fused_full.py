@@ -613,8 +613,15 @@ def _emit_dynamics(m: Model, ablate: str, C, scr, qpos, qvel, actv, ctrl,
   _chol_inplace, _inv_from_chol_inplace = chol_routines(_meta)
 
   def mxu(a, b):
+    # HIGHEST precision (true-f32 passes): the TPU default truncates
+    # both operands to bf16, and that 4e-3-relative noise — amplified
+    # through the ill-conditioned M^-1 and 10 chaotic substeps — is
+    # what failed the on-chip kernel-vs-stage gate (r5: qminv ~5% off
+    # while the factor routines are exact standalone). The MXU is a
+    # small fraction of this VPU-bound kernel, so 6-pass f32 is cheap.
     return jax.lax.dot_general(a, b, (((1,), (0,)), ((), ())),
-                               preferred_element_type=jnp.float32)
+                               preferred_element_type=jnp.float32,
+                               precision=jax.lax.Precision.HIGHEST)
 
   BT = C["BTAB"][:]
   # ================= com_pos =================
@@ -1465,10 +1472,12 @@ def _kernel_steps(m: Model, n_frames: int, interpret: bool = False,
       R = [[R9[3 * a + b] for b in range(3)] for a in range(3)]
       SJG = C["SJG"][:]
       axj = [jax.lax.dot_general(SJG, xaxis[c], (((1,), (0,)), ((), ())),
-                                 preferred_element_type=jnp.float32)
+                                 preferred_element_type=jnp.float32,
+                                 precision=jax.lax.Precision.HIGHEST)
              for c in range(3)]
       anj = [jax.lax.dot_general(SJG, xanchor[c], (((1,), (0,)), ((), ())),
-                                 preferred_element_type=jnp.float32)
+                                 preferred_element_type=jnp.float32,
+                                 precision=jax.lax.Precision.HIGHEST)
              for c in range(3)]
       if sc.has_free:
         xfree = []

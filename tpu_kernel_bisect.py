@@ -80,9 +80,14 @@ def main() -> int:
     # qM per distinct state
     from brax_rodent_run_tpu.physics import smooth
     errs = []
+    crb_hp = jax.jit(lambda s: smooth.crb(m, s, factor=False))
     for k in range(K):
       s = states[k]
-      dk = smooth.crb(m, s, factor=False)
+      # reference at HIGHEST matmul precision: the fingerprint measures
+      # the kernel's own deviation from exact f32, not the bf16-pass
+      # noise both sides would share at default precision
+      with jax.default_matmul_precision("highest"):
+        dk = crb_hp(s)
       qM = np.asarray(dk.qM, np.float64)
       if dbg in ("dbgqminv", "dbgmv"):
         refv = np.linalg.inv(qM).sum(axis=1)
