@@ -60,6 +60,18 @@ def _blk_hi(k, np_):
 _R = 8
 
 
+def _rsqrt_exact(x):
+  """rsqrt with one Newton-Raphson refinement: the TPU VPU rsqrt is a
+  ~2^-12-relative approximation, and that noise — amplified through the
+  ill-conditioned explicit M^-1 — is visible in the r5 on-chip qminv
+  fingerprints. One refinement step brings it to f32 rounding at ~4
+  extra VPU ops per column."""
+  r = jax.lax.rsqrt(x)
+  return r * (1.5 - 0.5 * x * r * r)
+
+
+
+
 def _chol_inplace_blocked(n, np_, a_ref, l_ref):
   """Blocked right-looking factorization of A (destroyed) into l_ref."""
   rows = jax.lax.broadcasted_iota(jnp.int32, (np_, 1), 0)
@@ -69,7 +81,7 @@ def _chol_inplace_blocked(n, np_, a_ref, l_ref):
     cols = []
     for k in range(kb, r1):
       akk = a_ref[k, k, :]
-      inv = jax.lax.rsqrt(jnp.maximum(akk, 1e-30))
+      inv = _rsqrt_exact(jnp.maximum(akk, 1e-30))
       col = a_ref[:, k, :] * inv[None, :]
       col = jnp.where(rows >= k, col, 0.0)
       l_ref[:, k, :] = col
@@ -210,7 +222,7 @@ def _make_chol_rev(meta):
       cols = []
       for k in reversed(range(kb, r1)):
         akk = a_ref[k, k, :]
-        inv = jax.lax.rsqrt(jnp.maximum(akk, 1e-30))
+        inv = _rsqrt_exact(jnp.maximum(akk, 1e-30))
         col = a_ref[:, k, :] * inv[None, :]
         col = jnp.where(rows <= k, col, 0.0)
         u_ref[:, k, :] = col
@@ -523,7 +535,7 @@ def chol_inverse_value(n, np_, A, meta=None):
     pan = []
     for k in reversed(range(kb, r1)):
       akk = A[k, k, :]
-      inv_d = jax.lax.rsqrt(jnp.maximum(akk, 1e-30))
+      inv_d = _rsqrt_exact(jnp.maximum(akk, 1e-30))
       col = A[:, k, :] * inv_d[None, :]
       col = jnp.where(rows1 <= k, col, 0.0)
       cols[k] = col
