@@ -93,6 +93,7 @@ def kernel_vs_stage_err(m, batch: int = 128, n_distinct: int = 8,
     ev = np.max(np.abs(np.asarray(out_b.qvel, np.float64)[sel]
                        - np.asarray(out_s.qvel, np.float64)[None]))
     err = max(err, float(eq), float(ev))
+  kernel_vs_stage_err.last_n_skipped = n_skipped
   if n_skipped == K:
     # every state was contact-borderline: fall back to comparing all of
     # them (better a noisy gate than no gate) — callers see the big err

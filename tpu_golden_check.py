@@ -117,6 +117,8 @@ def main() -> int:
     ok = ok and bool(kerr < kbudget)
   out = {
       "kernel_vs_stage_err": kerr,
+      "gate_states_skipped_borderline_contact": getattr(
+          gate.kernel_vs_stage_err, "last_n_skipped", None),
       "kernel_budget": kbudget,
       "golden_max_abs_err": float(per_step.max()),
       "golden_step1_err": float(per_step[0]),
