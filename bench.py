@@ -56,14 +56,18 @@ def main(num_envs: int = 2048, steps_per_block: int = 50,
         "xla_stage_path" if os.environ.get("BRR_NO_FUSED") else "BRR_BENCH_NO_GATE")}
   else:
     from brax_rodent_run_tpu.ops import gate as _gate
-    gerr = _gate.kernel_vs_stage_err(m)
-    if gerr is None:
+    g = _gate.full_gate(m)
+    if g is None:
       gate_info = {"gate_ok": None, "gate_skipped": "model_not_kernel_eligible"}
     else:
-      gate_info = {"gate_ok": bool(gerr < _gate.KERNEL_BUDGET),
-                   "gate_err": round(float(gerr), 8),
-                   "gate_budget": _gate.KERNEL_BUDGET}
-      if not gate_info["gate_ok"]:
+      gate_info = {"gate_ok": g["ok"],
+                   "gate_seq_err": round(g["seq_err"], 8),
+                   "gate_lever_err": (round(g["lever_err"], 8)
+                                      if g["lever_err"] is not None
+                                      else None),
+                   "gate_budgets": [g["seq_budget"], g["lever_budget"]],
+                   "gate_states_skipped": g["n_skipped"]}
+      if not g["ok"]:
         print(json.dumps({"gate_failed": True, **gate_info}), flush=True)
         raise SystemExit(3)
 

@@ -73,16 +73,14 @@ def _golden_rollout(mj, m, n_steps: int = 20, precision: str = "highest"):
   return np.stack(qpos)
 
 
-def _kernel_vs_stage(mj, m, batch: int = 128):
-  """Max |qpos/qvel| diff after ONE control step: fused Pallas kernel
-  (batched path) vs XLA stage composition (unbatched path), same
-  backend, K=8 DISTINCT states interleaved across lanes so the per-env
-  CG convergence mask is heterogeneous (r5: the identical-lane version
-  of this gate could not see per-env mask bugs like r4's done[0]
-  regression)."""
+def _kernel_gate(m, batch: int = 128):
+  """Two-part on-chip kernel gate (ops/gate.full_gate): sequential-LS
+  machinery check vs the highest-precision stage, plus the production
+  parallel-LS lever bounded at its own envelope. K=8 DISTINCT states
+  interleaved across lanes (identical-lane gates cannot see per-env
+  mask bugs like r4's done[0] regression)."""
   from brax_rodent_run_tpu.ops import gate
-  del mj  # m.qpos0 carries everything the gate needs
-  return gate.kernel_vs_stage_err(m, batch=batch)
+  return gate.full_gate(m, batch=batch)
 
 
 def main() -> int:
@@ -99,7 +97,8 @@ def main() -> int:
 
   from brax_rodent_run_tpu.ops import gate
   kbudget = gate.KERNEL_BUDGET  # one control step, f32 envelope
-  kerr = _kernel_vs_stage(mj, m)
+  g = _kernel_gate(m)
+  kerr = None if g is None else g["seq_err"]
 
   golden = np.load(_GOLDEN)["qpos"]
   got = _golden_rollout(mj, m)  # highest precision: true-f32 comparison
@@ -113,12 +112,14 @@ def main() -> int:
       _golden_rollout(mj, m, n_steps=1, precision="default") - golden[:1])))
 
   ok = bool(per_step[0] < first_budget)
-  if kerr is not None:
-    ok = ok and bool(kerr < kbudget)
+  if g is not None:
+    ok = ok and g["ok"]
   out = {
       "kernel_vs_stage_err": kerr,
-      "gate_states_skipped_borderline_contact": getattr(
-          gate.kernel_vs_stage_err, "last_n_skipped", None),
+      "kernel_lever_err": None if g is None else g["lever_err"],
+      "kernel_lever_budget": gate.LEVER_BUDGET,
+      "gate_states_skipped_borderline_contact": (
+          None if g is None else g["n_skipped"]),
       "kernel_budget": kbudget,
       "golden_max_abs_err": float(per_step.max()),
       "golden_step1_err": float(per_step[0]),
