@@ -33,11 +33,10 @@ if [ -f "runs/ckpts/${RUN_NAME}/train_state.pkl" ]; then
   RESUME="run.resume_from=runs/ckpts/${RUN_NAME}/train_state.pkl"
   echo "resuming from runs/ckpts/${RUN_NAME}/train_state.pkl"
 fi
-# BRR_NO_FUSED=1: the learning run uses the stage pipeline — the path
-# verified against the MuJoCo oracle (tests/test_truncated.py) — until
-# the fused kernel passes its on-chip numerics gate (r5 golden log:
-# kernel_vs_stage_err 25.8 vs 5e-3 budget at HEAD defaults)
-BRR_NO_FUSED=1 python train_rodent.py \
+# fused kernel: its on-chip gate passes at HEAD (perf_logs_r5_gate_pass
+# .log: machinery 1.0e-3 vs 5e-3 budget, lever 2.4e-7) and its VMEM-
+# resident working set fits 2048 envs where the stage path OOM'd 29.9G
+python train_rodent.py \
   env.model_xml=rodent_optimized.xml \
   ppo.num_timesteps="$STEPS" ppo.num_envs="$ENVS" \
   ppo.num_evals=10 \
