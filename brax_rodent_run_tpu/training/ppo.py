@@ -165,12 +165,17 @@ def train(
     # scan carry double-buffering) was the 29.6G-vs-15.75G HBM OOM.
     # x[permutation(key, N)] is bit-identical to permutation(key, x)
     # (verified), so training math is unchanged.
-    n_rows = jax.tree_util.tree_leaves(data)[0].shape[0]
+    d4, final_obs_rows = data
+    lead = jax.tree_util.tree_leaves(d4)[0].shape
+    n_unrolls_l, e_local = lead[0], lead[2]
+    n_rows = n_unrolls_l * e_local
     mb_idx = jax.random.permutation(perm_key, n_rows).reshape(
         (num_minibatches, -1))
 
     def gather_step(carry, idx):
-      batch = jax.tree_util.tree_map(lambda x: x[idx], data)
+      u, e = idx // e_local, idx % e_local
+      batch = (jax.tree_util.tree_map(lambda x: x[u, :, e], d4),
+               final_obs_rows[idx])
       return minibatch_step(carry, batch)
 
     (optimizer_state, params, _, _), metrics = jax.lax.scan(
@@ -199,10 +204,11 @@ def train(
 
     (env_state, _), (data, final_obs) = jax.lax.scan(
         rollout, (env_state, unroll_key), (), length=num_unrolls)
-    # (num_unrolls, T, E_local, ...) -> (num_unrolls*E_local, T, ...)
-    data = jax.tree_util.tree_map(lambda x: jnp.swapaxes(x, 1, 2), data)
-    data = jax.tree_util.tree_map(
-        lambda x: x.reshape((-1,) + x.shape[2:]), data)
+    # data leaves stay in the scan-native (num_unrolls, T, E_local, ...)
+    # layout: the old swapaxes+reshape materialized a full transposed
+    # copy of the 6.7 GB rollout buffer (the last 1.26G of the config-3
+    # HBM OOM). Minibatch gathers index (u, e) pairs directly; logical
+    # row r = u*E_local + e matches the old reshape ordering bit-exactly.
     final_obs = final_obs.reshape((-1,) + final_obs.shape[2:])
 
     if normalize_observations:
