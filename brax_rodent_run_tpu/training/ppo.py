@@ -166,7 +166,7 @@ def train(
     # x[permutation(key, N)] is bit-identical to permutation(key, x)
     # (verified), so training math is unchanged.
     d4, final_obs_rows = data
-    lead = jax.tree_util.tree_leaves(d4)[0].shape
+    lead = d4.reward.shape                     # (U, T, E)
     n_unrolls_l, e_local = lead[0], lead[2]
     n_rows = n_unrolls_l * e_local
     mb_idx = jax.random.permutation(perm_key, n_rows).reshape(
@@ -174,8 +174,13 @@ def train(
 
     def gather_step(carry, idx):
       u, e = idx // e_local, idx % e_local
-      batch = (jax.tree_util.tree_map(lambda x: x[u, :, e], d4),
-               final_obs_rows[idx])
+      # observation is stored env-LAST (U, T, obs, E) — see the rollout
+      # closure; everything else is (U, T, E, ...)
+      obs_mb = d4.observation[u, :, :, e]              # (B, T, obs)
+      rest = jax.tree_util.tree_map(
+          lambda x: x[u, :, e],
+          d4.replace(observation=d4.reward))   # dummy; replaced below
+      batch = (rest.replace(observation=obs_mb), final_obs_rows[idx])
       return minibatch_step(carry, batch)
 
     (optimizer_state, params, _, _), metrics = jax.lax.scan(
@@ -197,6 +202,14 @@ def train(
       nstate, data = acting.generate_unroll(
           env, state, policy, uk, unroll_length,
           extra_fields=("truncation",))
+      # store observations ENV-LAST: (T, obs, E). In the scan-stacked
+      # (U, T, E, obs) layout the TPU (8,128) tile pads T=10 sublanes to
+      # 16 — a 1.6x expansion of the 6.2G obs buffer (the OOM dump's
+      # 10.0G copy.218). With (obs, E) minor dims the padding is ~1.001x
+      # and the buffer is BORN in this layout (per-unroll transpose is
+      # 100 MB inside the scan, fused).
+      data = data.replace(
+          observation=jnp.swapaxes(data.observation, 1, 2))
       # nstate.obs IS the successor observation of the unroll's last
       # step (identical to what a per-step next_observation would have
       # recorded there, including the auto-reset quirk on done)
@@ -212,8 +225,11 @@ def train(
     final_obs = final_obs.reshape((-1,) + final_obs.shape[2:])
 
     if normalize_observations:
+      # obs is (U, T, obs, E); rs.update reduces over all leading axes,
+      # so feed the transposed view (U, T, E, obs) — the transpose
+      # feeds a reduction and fuses without materializing
       normalizer_state = rs.update(ts.normalizer_state,
-                                   data.observation.reshape((-1, obs_size)),
+                                   jnp.swapaxes(data.observation, 2, 3),
                                    pmap_axis_name=_AXIS)
     else:
       # identity normalizer: state stays at init (mean 0, std 1), so
