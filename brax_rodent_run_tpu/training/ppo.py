@@ -174,9 +174,10 @@ def train(
 
     def gather_step(carry, idx):
       u, e = idx // e_local, idx % e_local
-      # observation is stored env-LAST (U, T, obs, E) — see the rollout
-      # closure; everything else is (U, T, E, ...)
-      obs_mb = d4.observation[u, :, :, e]              # (B, T, obs)
+      # observation is stored (U, E, T*obs) — see the rollout closure;
+      # everything else is (U, T, E, ...)
+      obs_mb = d4.observation[u, e].reshape(
+          (idx.shape[0], -1, obs_size))                # (B, T, obs)
       rest = jax.tree_util.tree_map(
           lambda x: x[u, :, e],
           d4.replace(observation=d4.reward))   # dummy; replaced below
@@ -202,14 +203,16 @@ def train(
       nstate, data = acting.generate_unroll(
           env, state, policy, uk, unroll_length,
           extra_fields=("truncation",))
-      # store observations ENV-LAST: (T, obs, E). In the scan-stacked
+      # store observations as (E, T*obs) per unroll: in the scan-stacked
       # (U, T, E, obs) layout the TPU (8,128) tile pads T=10 sublanes to
-      # 16 — a 1.6x expansion of the 6.2G obs buffer (the OOM dump's
-      # 10.0G copy.218). With (obs, E) minor dims the padding is ~1.001x
-      # and the buffer is BORN in this layout (per-unroll transpose is
-      # 100 MB inside the scan, fused).
+      # 16 — a 1.6x expansion of the 6.2G obs buffer — and every layout
+      # XLA picked for a 4-D store materialized a 10G transpose copy
+      # (OOM dumps). The 3-D (U, E, T*obs) form is natural row-major:
+      # ~zero padding, and both the minibatch gather and the normalizer
+      # view are contiguous reshapes.
+      o = data.observation                          # (T, E, obs)
       data = data.replace(
-          observation=jnp.swapaxes(data.observation, 1, 2))
+          observation=jnp.swapaxes(o, 0, 1).reshape(o.shape[1], -1))
       # nstate.obs IS the successor observation of the unroll's last
       # step (identical to what a per-step next_observation would have
       # recorded there, including the auto-reset quirk on done)
@@ -225,11 +228,11 @@ def train(
     final_obs = final_obs.reshape((-1,) + final_obs.shape[2:])
 
     if normalize_observations:
-      # obs is (U, T, obs, E); rs.update reduces over all leading axes,
-      # so feed the transposed view (U, T, E, obs) — the transpose
-      # feeds a reduction and fuses without materializing
-      normalizer_state = rs.update(ts.normalizer_state,
-                                   jnp.swapaxes(data.observation, 2, 3),
+      # obs is (U, E, T*obs): the (U, E, T, obs) view is a contiguous
+      # reshape; rs.update reduces over the three leading axes
+      ob = data.observation
+      obs4 = ob.reshape(ob.shape[0], ob.shape[1], unroll_length, obs_size)
+      normalizer_state = rs.update(ts.normalizer_state, obs4,
                                    pmap_axis_name=_AXIS)
     else:
       # identity normalizer: state stays at init (mean 0, std 1), so
@@ -322,8 +325,13 @@ def train(
         ts, env_state, metrics = one_training_step(
             ts, env_state, jax.random.fold_in(key, i))
         ms.append(metrics)
+      # average on the HOST with numpy: the metric scalars are consumed
+      # host-side anyway, and dispatching a jnp.stack per epoch hit a
+      # flaky XLA:CPU runtime abort on this machine (r5: 'Fatal Python
+      # error: Aborted' in apply_primitive, intermittently killing the
+      # test suite at the same spot)
       return ts, env_state, jax.tree_util.tree_map(
-          lambda *xs: jnp.mean(jnp.stack(xs)), *ms)
+          lambda *xs: float(np.mean([np.asarray(x) for x in xs])), *ms)
 
   # ---------------------------------------------------------------- init
   key = jax.random.PRNGKey(seed)
