@@ -35,6 +35,11 @@ def main() -> int:
   ap.add_argument("--envs", type=int, default=128)
   ap.add_argument("--n-frames", type=int, default=1)
   ap.add_argument("--distinct", type=int, default=8)
+  ap.add_argument("--qpos-noise", type=float, default=0.01)
+  ap.add_argument("--qvel-scale", type=float, default=0.1)
+  ap.add_argument("--ctrl-scale", type=float, default=0.5)
+  ap.add_argument("--nan-hunt", action="store_true",
+                  help="report per-output NaN counts instead of errors")
   args = ap.parse_args()
 
   import jax
@@ -57,9 +62,12 @@ def main() -> int:
   qpos0 = np.asarray(m.qpos0, np.float32)
   states = []
   for _ in range(K):
-    qp = qpos0 + rng.uniform(-0.01, 0.01, qpos0.shape).astype(np.float32)
-    qv = rng.uniform(-0.1, 0.1, (m.nv,)).astype(np.float32)
-    u = rng.uniform(-0.5, 0.5, (m.nu,)).astype(np.float32)
+    qp = qpos0 + rng.uniform(-args.qpos_noise, args.qpos_noise,
+                             qpos0.shape).astype(np.float32)
+    qv = rng.uniform(-args.qvel_scale, args.qvel_scale,
+                     (m.nv,)).astype(np.float32)
+    u = rng.uniform(-args.ctrl_scale, args.ctrl_scale,
+                    (m.nu,)).astype(np.float32)
     d = make_data(m, dtype=jnp.float32)
     d = d.replace(qpos=jnp.asarray(qp), qvel=jnp.asarray(qv),
                   ctrl=jnp.asarray(u))
@@ -72,6 +80,19 @@ def main() -> int:
   out = jax.jit(
       lambda *a: ff.fused_steps_batched(m, args.n_frames, *a))(*bargs)
   out = [np.asarray(o, np.float64) for o in out]
+
+  if args.nan_hunt:
+    report = {}
+    for i, name in enumerate(_NAMES[:len(out)]):
+      n_nan = int(np.sum(~np.isfinite(out[i])))
+      if n_nan:
+        report[name] = n_nan
+    report["_total_outputs"] = len(out)
+    report["backend"] = jax.default_backend()
+    report["scales"] = [args.qpos_noise, args.qvel_scale, args.ctrl_scale]
+    report["n_frames"] = args.n_frames
+    print(json.dumps(report))
+    return 0
 
   dbg = os.environ.get("BRR_FF_DBG", "")
   if dbg:
