@@ -25,6 +25,7 @@ from __future__ import annotations
 
 import functools
 import math as pymath
+import os
 import time
 from typing import Any, Callable, Dict, Optional, Tuple
 
@@ -247,11 +248,28 @@ def train(
          (data, final_obs), sgd_key),
         (), length=num_updates_per_batch)
 
+    dbg = {}
+    if os.environ.get("BRR_PPO_DEBUG_NAN"):
+      # rollout-health counters (trace-time flag; BRR_PPO_DEBUG_NAN=1):
+      # split physics/obs NaNs from learner NaNs without leaving jit
+      dbg = {
+          "debug/nan_obs": jnp.sum(
+              ~jnp.isfinite(data.observation)).astype(jnp.float32),
+          "debug/nan_reward": jnp.sum(
+              ~jnp.isfinite(data.reward)).astype(jnp.float32),
+          "debug/max_abs_obs": jnp.max(jnp.abs(data.observation)),
+          "debug/max_abs_reward": jnp.max(jnp.abs(data.reward)),
+          "debug/nan_policy_params": sum(
+              jnp.sum(~jnp.isfinite(x)).astype(jnp.float32)
+              for x in jax.tree_util.tree_leaves(params.policy)),
+      }
+
     new_ts = TrainingState(
         optimizer_state=optimizer_state, params=params,
         normalizer_state=normalizer_state,
         env_steps=ts.env_steps + env_step_per_training_step)
     metrics = jax.tree_util.tree_map(jnp.mean, sgd_metrics)
+    metrics = {**metrics, **dbg}
     return (new_ts, env_state, new_key), metrics
 
   # ------------------------------------------------------ training epoch
